@@ -1,0 +1,221 @@
+"""Two-layer (and single-layer barotropic) QG model: state, tendencies, stepping.
+
+TPU-native re-design of the reference's model layer (reference: src/model.jl).
+Key architectural differences from the reference, by design:
+
+  * State is an interior-only pytree carried through ``lax.scan`` — no ghost
+    ring, no 4-D ring buffers with dead slots. The reference keeps
+    (M+2, P+2, 2, 3) arrays (src/model.jl:53-54) of which only time-level 1 of
+    zeta/psi is ever read (AB3 history lives in f_store); we carry exactly the
+    data the scheme needs: current zeta, current psi, and the two past
+    tendencies per layer.
+  * The elliptic inversion is spectral (tpu_qg.ops.spectral) instead of sparse
+    Cholesky backsolves (reference: src/model.jl:184-192).
+  * Euler (first two steps) vs AB3 (after) dispatch (reference:
+    src/model.jl:160-170) is a branch-free ``jnp.where`` on the step counter so
+    one compiled step function serves the whole run.
+  * float32 on the TPU speed path, float64 (jax_enable_x64) for the
+    reference-equivalence path — dtype is a config axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..config import ModelConfig
+from ..ops.spectral import HelmholtzSolver
+from ..ops.stencils import arakawa_J, centered_diff_x, laplace_5p
+
+
+class State(NamedTuple):
+    """Simulation state (a JAX pytree).
+
+    zeta:   (L, M, P) potential-vorticity-like prognostic field.
+    psi:    (L, M, P) streamfunction (diagnostic, from elliptic inversion).
+    f_hist: (2, L, M, P) tendency history for AB3 — f_hist[0] is the tendency
+            of the previous step, f_hist[1] two steps back (the reference's
+            f_store slots 2 and 3, src/model.jl:101-106,129-136).
+    step:   () int32 — number of completed steps.
+    """
+
+    zeta: Array
+    psi: Array
+    f_hist: Array
+    step: Array
+
+
+def _tendencies(cfg: ModelConfig, zeta: Array, psi: Array) -> Array:
+    """Per-layer RHS d(zeta)/dt, fused across layers.
+
+    Layer 1 (reference: src/model.jl:139-145, ``zeta_f1``):
+        visc*lap(lap(psi)) - J(zeta, psi) - beta_1*d(psi)/dx - U*d(zeta)/dx
+    Layer 2 (reference: src/model.jl:147-153, ``zeta_f2``):
+        visc*lap(lap(psi)) - J(zeta, psi) - beta_2*d(psi)/dx - r*lap(psi)
+
+    Single-layer barotropic variant: layer-1 form plus bottom drag -r*lap(psi)
+    with no layer coupling.
+    """
+    dx = cfg.dx
+    dtype = zeta.dtype
+    lap_psi = laplace_5p(psi, dx)              # (L, M, P), used by visc and drag
+    visc_term = cfg.visc * laplace_5p(lap_psi, dx)
+    jac = arakawa_J(zeta, psi, dx)
+    dpsi_dx = centered_diff_x(psi, dx)
+
+    if cfg.n_layers == 1:
+        u_term = cfg.U * centered_diff_x(zeta, dx)
+        drag = cfg.r * lap_psi
+        return visc_term - jac - cfg.beta * dpsi_dx - u_term - drag
+
+    betas = jnp.asarray([cfg.beta_1, cfg.beta_2], dtype)[:, None, None]
+    beta_term = betas * dpsi_dx
+    # Layer 1: mean-flow advection U d(zeta)/dx; layer 2: bottom drag r*lap(psi).
+    u_term = cfg.U * centered_diff_x(zeta[0], dx)
+    drag = cfg.r * lap_psi[1]
+    extra = jnp.stack([u_term, drag])
+    return visc_term - jac - beta_term - extra
+
+
+def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
+    """Streamfunction from PV: modal decomposition + spectral elliptic solves.
+
+    Reference: ``evolve_psi!`` (src/model.jl:172-199) — project zeta into
+    barotropic/baroclinic modes with P_inv, solve Poisson (mode 1) and modified
+    Helmholtz (mode 2), project back with P. The reference's back-projection
+    quirk P_matrix(H_1, H_1) (src/model.jl:173) is honored via
+    cfg.back_projection_matrix().
+    """
+    if cfg.n_layers == 1:
+        poisson, = solvers
+        return poisson(zeta)
+
+    poisson, helmholtz = solvers
+    (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
+    zt1 = pi11 * zeta[0] + pi12 * zeta[1]   # barotropic mode
+    zt2 = pi21 * zeta[0] + pi22 * zeta[1]   # baroclinic mode
+    pt1 = poisson(zt1)                      # lap(pt1) = zt1   (zero-mean/pin gauge)
+    pt2 = helmholtz(zt2)                    # (lap + S_eig)(pt2) = zt2
+    (p11, p12), (p21, p22) = cfg.back_projection_matrix()
+    return jnp.stack([p11 * pt1 + p12 * pt2, p21 * pt1 + p22 * pt2])
+
+
+def _build_solvers(cfg: ModelConfig):
+    if cfg.n_layers == 1:
+        return (HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0, gauge=cfg.poisson_gauge),)
+    return (
+        HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0, gauge=cfg.poisson_gauge),
+        HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig),
+    )
+
+
+def make_step_fn(cfg: ModelConfig):
+    """Build the single-step transition function ``state -> state``.
+
+    One step = evolve zeta (Euler for the first two steps, AB3 after —
+    reference: src/model.jl:155-170) then invert for psi (reference:
+    src/model.jl:172-199, called at src/run_model.jl:83-84).
+    """
+    solvers = _build_solvers(cfg)
+    dt = cfg.dt
+
+    def step(state: State) -> State:
+        tend = _tendencies(cfg, state.zeta, state.psi)
+        ab3 = dt * ((23.0 / 12.0) * tend
+                    - (16.0 / 12.0) * state.f_hist[0]
+                    + (5.0 / 12.0) * state.f_hist[1])
+        euler = dt * tend
+        # Steps 0 and 1 (the reference's timestep 1 and 2) use Euler
+        # (reference: src/model.jl:161-164).
+        update = jnp.where(state.step < 2, euler, ab3)
+        zeta_new = state.zeta + update
+        psi_new = _invert_psi(cfg, solvers, zeta_new)
+        f_hist_new = jnp.stack([tend, state.f_hist[0]])
+        return State(zeta_new, psi_new, f_hist_new, state.step + 1)
+
+    return step
+
+
+def init_state(cfg: ModelConfig, key: Optional[Array] = None,
+               psi_init: Optional[Array] = None) -> State:
+    """Initial condition: random streamfunction kick, zeta from its definition.
+
+    Reference: ``initialise_model`` (src/model.jl:36-62) — psi_i = initial_kick
+    * U * Ly * uniform[0,1), then zeta from the layer-coupled definition
+    (src/model.jl:47-48). The reference's RNG is unseeded Julia rand; for
+    reproducibility (and for the allclose check against serialized reference
+    trajectories) an explicit ``psi_init`` of shape (L, M, P) can be injected.
+    """
+    if cfg.n_layers == 2:
+        cfg.validate()
+    dtype = jnp.dtype(cfg.dtype)
+    L = cfg.n_layers
+    shape = (L, cfg.M, cfg.P)
+
+    if psi_init is not None:
+        psi = jnp.asarray(psi_init, dtype).reshape(shape)
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        amp = cfg.initial_kick * (cfg.U if cfg.U != 0.0 else 1.0) * cfg.Ly
+        psi = amp * jax.random.uniform(key, shape, dtype=dtype)
+
+    if L == 1:
+        zeta = laplace_5p(psi, cfg.dx)
+    else:
+        lap = laplace_5p(psi, cfg.dx)
+        z1 = lap[0] + cfg.S1_plus * (psi[1] - psi[0])
+        z2 = lap[1] + cfg.S2_minus * (psi[0] - psi[1])
+        zeta = jnp.stack([z1, z2])
+
+    f_hist = jnp.zeros((2,) + shape, dtype)
+    return State(zeta, psi, f_hist, jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _run_scan(step_fn, state: State, n_steps: int) -> State:
+    def body(s, _):
+        return step_fn(s), None
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+class QGModel:
+    """Convenience wrapper bundling config, jitted step, and multi-step runs.
+
+    The counterpart of the reference's driver-facing surface
+    (BaroclinicModel + initialise_model + evolve_zeta!/evolve_psi!).
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self._step_fn = make_step_fn(cfg)
+        self.step = jax.jit(self._step_fn)
+
+    def init_state(self, key: Optional[Array] = None,
+                   psi_init: Optional[Array] = None) -> State:
+        return init_state(self.cfg, key=key, psi_init=psi_init)
+
+    def run(self, state: State, n_steps: int) -> State:
+        """Advance ``n_steps`` steps under one compiled ``lax.scan``."""
+        return _run_scan(self._step_fn, state, n_steps)
+
+    def run_trajectory(self, state: State, n_steps: int, sample_every: int
+                       ) -> Tuple[State, Array, Array]:
+        """Advance n_steps, returning (final_state, zeta_samples, psi_samples)
+        sampled every ``sample_every`` steps (scan-of-scans: the inner scan is
+        one sampling interval)."""
+        assert n_steps % sample_every == 0
+        n_chunks = n_steps // sample_every
+
+        def outer(s, _):
+            s = _run_scan(self._step_fn, s, sample_every)
+            return s, (s.zeta, s.psi)
+
+        final, (zs, ps) = jax.lax.scan(outer, state, None, length=n_chunks)
+        return final, zs, ps

@@ -1,0 +1,102 @@
+"""Spectral (rfft2) elliptic inversion with the *discrete* 5-point eigenvalues.
+
+TPU-native replacement for the reference's pre-factorized sparse Cholesky
+backsolves (reference: src/schemes/laplacian.jl:60-75, used per-step at
+src/model.jl:184-192). A direct sparse factorization is hostile to the TPU
+(serial triangular solves, scattered memory); the doubly-periodic 5-point
+Laplacian is diagonal in the DFT basis, so Poisson / modified-Helmholtz solves
+become one rfft2, a pointwise multiply, and one irfft2 — all MXU/VPU-friendly
+and O(N log N).
+
+Crucially we divide by the eigenvalues of the *discrete* operator,
+
+    lambda[k, l] = (2 cos(2 pi k / M) - 2 + 2 cos(2 pi l / P) - 2) / dx^2,
+
+not the continuous symbol -(k^2 + l^2), so the solve matches the reference's
+sparse solve (same matrix, different algorithm) to roundoff, including the
+finite-difference dispersion error.
+
+Gauge note: the periodic Poisson problem is singular (kernel = constants). The
+reference pins one unknown to zero (reference: src/schemes/laplacian.jl:70-74,
+src/model.jl:185); spectrally we zero the (0, 0) mode, i.e. return the zero-mean
+solution. Both are valid gauges differing by a constant when the RHS is
+compatible (zero-mean); ``gauge="pin"`` additionally subtracts u[0, 0] to
+emulate the reference pointwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def periodic_laplacian_eigenvalues(M: int, P: int, dx: float) -> np.ndarray:
+    """Eigenvalues of the doubly-periodic discrete 5-point Laplacian on the
+    rfft2 grid: shape (M, P // 2 + 1)."""
+    k = np.arange(M)
+    l = np.arange(P // 2 + 1)
+    lam_x = (2.0 * np.cos(2.0 * np.pi * k / M) - 2.0) / (dx * dx)
+    lam_y = (2.0 * np.cos(2.0 * np.pi * l / P) - 2.0) / (dx * dx)
+    return lam_x[:, None] + lam_y[None, :]
+
+
+class HelmholtzSolver:
+    """Cached inverse-symbol solver for (laplacian + alpha) u = f.
+
+    The counterpart of the reference's cached Cholesky factorizations
+    (reference: src/schemes/laplacian.jl:60-75): construct once per (M, P, dx,
+    alpha), apply every step. ``alpha=0`` gives the (gauge-fixed) Poisson solve.
+    """
+
+    def __init__(self, M: int, P: int, dx: float, alpha: float,
+                 gauge: str = "zero_mean"):
+        self.M, self.P, self.dx, self.alpha = M, P, dx, alpha
+        self.gauge = gauge
+        lam = periodic_laplacian_eigenvalues(M, P, dx) + alpha
+        if alpha == 0.0:
+            # Zero out the singular (0, 0) mode -> zero-mean gauge.
+            lam[0, 0] = 1.0
+            inv = 1.0 / lam
+            inv[0, 0] = 0.0
+        else:
+            inv = 1.0 / lam
+        # The symbol is real; keep it in float64 host-side and cast at trace
+        # time (it constant-folds under jit).
+        self.inv_symbol = inv
+
+    def __call__(self, f: Array) -> Array:
+        """Solve (lap + alpha) u = f for u on an interior-only (..., M, P) array."""
+        f_hat = jnp.fft.rfft2(f, axes=(-2, -1))
+        u_hat = f_hat * jnp.asarray(self.inv_symbol, dtype=f_hat.real.dtype)
+        u = jnp.fft.irfft2(u_hat, s=(self.M, self.P), axes=(-2, -1))
+        u = u.astype(f.dtype)
+        if self.alpha == 0.0 and self.gauge == "pin":
+            # Emulate the reference's pinned-point gauge (psi[0, 0] == 0).
+            u = u - u[..., 0:1, 0:1]
+        return u
+
+
+@functools.partial(jax.jit, static_argnames=("M", "P", "dx", "alpha", "gauge"))
+def _solve(f, M, P, dx, alpha, gauge):
+    return HelmholtzSolver(M, P, dx, alpha, gauge=gauge)(f)
+
+
+def solve_helmholtz(f: Array, dx: float, alpha: float) -> Array:
+    """One-shot modified-Helmholtz solve (lap + alpha) u = f, doubly periodic.
+
+    Convenience parity with the reference's non-cached
+    ``sp_solve_modified_helmholtz`` (reference: src/schemes/laplacian.jl:78-86).
+    """
+    M, P = f.shape[-2], f.shape[-1]
+    return _solve(f, M, P, float(dx), float(alpha), "zero_mean")
+
+
+def solve_poisson(f: Array, dx: float, gauge: str = "zero_mean") -> Array:
+    """One-shot Poisson solve lap u = f, doubly periodic
+    (reference: src/schemes/laplacian.jl:100-111, ``sp_solve_poisson``)."""
+    M, P = f.shape[-2], f.shape[-1]
+    return _solve(f, M, P, float(dx), 0.0, gauge)

@@ -1,0 +1,159 @@
+"""Run driver + CLI.
+
+Counterpart of the reference's driver layer (reference: src/run_model.jl:55-95
+``run_model`` and src/run_model_no_output.jl:3-16 ``run_model_no_output``), with
+the gaps the reference leaves filled: resume-from-checkpoint, structured
+diagnostics, named config presets instead of hard-coded constants
+(reference: src/run_model.jl:97-124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import ModelConfig, preset
+from .constants import DAY
+from .io import RunReader, RunWriter
+from .models.core import QGModel, State
+from .utils.diagnostics import diagnostics
+
+
+def log_model_params(cfg: ModelConfig) -> None:
+    """(reference: src/run_model.jl:22-39)."""
+    print("Parameters:")
+    print(f"Lx = {cfg.Lx}")
+    print(f"Ly = {cfg.Ly}")
+    print(f"(f_0^2 / N^2): {cfg.ratio_term}")
+    print(f"S1 = {cfg.S1_plus}")
+    print(f"S2 = {cfg.S2_minus}")
+    print(f"Beta_1 = {cfg.beta_1}")
+    print(f"Beta_2 = {cfg.beta_2}")
+    print(f"M = {cfg.M}")
+    print(f"P = {cfg.P}")
+    print(f"dt = {cfg.dt}")
+    print(f"T = {cfg.T}")
+    print(f"U = {cfg.U}")
+    print(f"Initial kick = {cfg.initial_kick}")
+    print(f"Total steps = {cfg.total_steps}\n")
+
+
+def run_model(
+    cfg: ModelConfig,
+    run_dir: Optional[str] = None,
+    save_results: bool = True,
+    n_steps: Optional[int] = None,
+    sample_interval: float = 1.0 * DAY,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
+    verbose: bool = True,
+    state: Optional[State] = None,
+):
+    """Run the simulation, optionally streaming snapshots/checkpoints.
+
+    The reference's sampling cadence quirk — metadata says floor(day/dt) but the
+    loop saves every 2*floor(day/dt) (reference: src/run_model.jl:59 vs :7-9) —
+    is consciously FIXED here: snapshots go every ``sample_interval`` seconds of
+    model time, exactly as the metadata says.
+    """
+    if verbose:
+        log_model_params(cfg)
+
+    model = QGModel(cfg)
+    total = cfg.total_steps if n_steps is None else n_steps
+    sample_steps = max(int(sample_interval // cfg.dt), 1)
+
+    writer = None
+    if save_results:
+        if run_dir is None:
+            raise ValueError("save_results=True requires run_dir")
+        if resume:
+            reader = RunReader(run_dir)
+            state = reader.load_checkpoint()
+            writer = RunWriter(run_dir, cfg, sample_interval)
+            if verbose:
+                print(f"Resumed from step {int(state.step)}")
+        else:
+            writer = RunWriter(run_dir, cfg, sample_interval)
+
+    if state is None:
+        state = model.init_state(key=jax.random.PRNGKey(cfg.seed))
+        if writer is not None:
+            writer.write_snapshot(0, np.asarray(state.zeta), np.asarray(state.psi))
+
+    start_step = int(state.step)
+    if verbose:
+        print("Running simulation... \n")
+    t0 = time.perf_counter()
+    done = start_step
+    while done < total:
+        chunk = min(sample_steps, total - done)
+        state = model.run(state, chunk)
+        done += chunk
+        if writer is not None and done % sample_steps == 0:
+            writer.write_snapshot(done, np.asarray(state.zeta),
+                                  np.asarray(state.psi))
+        if writer is not None and checkpoint_every and done % checkpoint_every == 0:
+            writer.write_checkpoint(state)
+        if verbose:
+            d = diagnostics(cfg, state)
+            rate = (done - start_step) * cfg.M * cfg.P / (time.perf_counter() - t0)
+            print(f"step {done}/{total}  cfl={d['cfl']:.3f}  "
+                  f"ke1={d.get('ke_1', float('nan')):.3e}  "
+                  f"max|zeta|={d['max_abs_zeta']:.3e}  "
+                  f"[{rate:.3e} gridpoint-steps/s]")
+    jax.block_until_ready(state.zeta)
+    if writer is not None:
+        writer.write_checkpoint(state)
+
+    return state
+
+
+def run_model_no_output(cfg: ModelConfig, n_steps: Optional[int] = None) -> State:
+    """Pure-compute run for benchmarking (reference: src/run_model_no_output.jl)."""
+    return run_model(cfg, save_results=False, n_steps=n_steps, verbose=False)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="TPU-native two-layer QG solver")
+    parser.add_argument("--preset", default="production",
+                        help="named config preset (see tpu_qg.config.preset)")
+    parser.add_argument("--run-dir", default=None, help="output directory")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override number of steps")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from latest checkpoint in --run-dir")
+    parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument("--no-save", action="store_true")
+    parser.add_argument("--set", nargs="*", default=[],
+                        metavar="KEY=VALUE", help="config field overrides")
+    args = parser.parse_args(argv)
+
+    cfg = preset(args.preset)
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        field_type = type(getattr(cfg, k))
+        overrides[k] = field_type(json.loads(v) if field_type is bool else v)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    t0 = time.perf_counter()
+    run_model(
+        cfg,
+        run_dir=args.run_dir,
+        save_results=not args.no_save and args.run_dir is not None,
+        n_steps=args.steps,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+    print(f"\n Total runtime: {time.perf_counter() - t0:.2f} s")
+
+
+if __name__ == "__main__":
+    main()
