@@ -1,0 +1,98 @@
+"""Full shard_map time step: halo-exchange stencils + distributed FFT inversion.
+
+The hand-tuned scaling path (vs the GSPMD path in tpu_qg.parallel.gspmd): each
+device advances its (m, p) tile with ppermute halo exchanges for the stencil
+radius (1 for zeta, 2 for psi — the del^4 friction needs
+Laplacian-of-Laplacian, reference: src/model.jl:140,148) and participates in
+the transposed distributed FFT for the modal elliptic inversion (reference
+counterpart: src/model.jl:172-199).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..models.core import State
+from ..ops.stencils import (arakawa_J_generic, centered_diff_x_generic,
+                            laplace_5p_generic)
+from .distributed_fft import DistributedHelmholtzSolver
+from .halo import exchange_halo, make_padded_shift
+
+
+def _local_tendencies(cfg: ModelConfig, zeta, psi, ax: str, ay: str):
+    """Per-layer RHS on local tiles (reference: src/model.jl:139-153), with
+    halo exchange instead of ghost rings."""
+    dx = cfg.dx
+    dtype = zeta.dtype
+    s1 = make_padded_shift(1)
+
+    zeta_pad = exchange_halo(zeta, 1, ax, ay)       # (L, m+2, p+2)
+    psi_pad2 = exchange_halo(psi, 2, ax, ay)        # (L, m+4, p+4)
+    psi_pad1 = psi_pad2[..., 1:-1, 1:-1]            # (L, m+2, p+2)
+
+    lap_psi_1h = laplace_5p_generic(s1, psi_pad2, dx)   # (L, m+2, p+2), 1-halo
+    visc_term = cfg.visc * laplace_5p_generic(s1, lap_psi_1h, dx)  # (L, m, p)
+    lap_psi = lap_psi_1h[..., 1:-1, 1:-1]               # (L, m, p)
+    jac = arakawa_J_generic(s1, zeta_pad, psi_pad1, dx)
+    dpsi_dx = centered_diff_x_generic(s1, psi_pad1, dx)
+
+    if cfg.n_layers == 1:
+        u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad, dx)
+        return visc_term - jac - cfg.beta * dpsi_dx - u_term - cfg.r * lap_psi
+
+    betas = jnp.asarray([cfg.beta_1, cfg.beta_2], dtype)[:, None, None]
+    u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad[0], dx)
+    drag = cfg.r * lap_psi[1]
+    extra = jnp.stack([u_term, drag])
+    return visc_term - jac - betas * dpsi_dx - extra
+
+
+def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
+    """Jitted sharded step using explicit halo exchange + distributed FFTs."""
+    ax, ay = mesh.axis_names
+    nx, ny = mesh.devices.shape
+    m, p = cfg.M // nx, cfg.P // ny
+    assert m * nx == cfg.M and p * ny == cfg.P, "grid must divide the mesh"
+
+    if cfg.n_layers == 1:
+        solver = DistributedHelmholtzSolver(cfg.M, cfg.P, cfg.dx, (0.0,), ax, ay)
+    else:
+        solver = DistributedHelmholtzSolver(
+            cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig), ax, ay)
+        (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
+        (b11, b12), (b21, b22) = cfg.back_projection_matrix()
+    dt = cfg.dt
+
+    def local_step(state: State) -> State:
+        tend = _local_tendencies(cfg, state.zeta, state.psi, ax, ay)
+        ab3 = dt * ((23.0 / 12.0) * tend
+                    - (16.0 / 12.0) * state.f_hist[0]
+                    + (5.0 / 12.0) * state.f_hist[1])
+        euler = dt * tend
+        update = jnp.where(state.step < 2, euler, ab3)
+        zeta_new = state.zeta + update
+
+        if cfg.n_layers == 1:
+            psi_new = solver(zeta_new)
+        else:
+            modes = jnp.stack([pi11 * zeta_new[0] + pi12 * zeta_new[1],
+                               pi21 * zeta_new[0] + pi22 * zeta_new[1]])
+            pt = solver(modes)
+            psi_new = jnp.stack([b11 * pt[0] + b12 * pt[1],
+                                 b21 * pt[0] + b22 * pt[1]])
+
+        f_hist_new = jnp.stack([tend, state.f_hist[0]])
+        return State(zeta_new, psi_new, f_hist_new, state.step + 1)
+
+    specs = State(
+        zeta=P(None, ax, ay),
+        psi=P(None, ax, ay),
+        f_hist=P(None, None, ax, ay),
+        step=P(),
+    )
+    sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(specs,),
+                            out_specs=specs, check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
