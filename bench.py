@@ -17,6 +17,11 @@ import time
 
 import jax
 
+# Persistent compilation cache: Pallas-containing programs take minutes to
+# compile through the remote tunnel; cache them across processes.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 # Reference: M=256, 1 model-day, dt=60 min => 24 steps in 5.141 s (1 CPU core).
 _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 

@@ -1,0 +1,145 @@
+"""Benchmark sweeps producing CSVs shaped like the reference's.
+
+Counterparts:
+  * full-model sweep over M  — reference: src/benchmarking/benchmarking.jl
+    (writes julia_benchmark_times.csv: columns M, Time)
+  * per-part sweep           — reference: src/benchmarking/julia_bench_parts.jl
+    (times the full run, evolve_psi, evolve_zeta, and the solver setup
+    separately; writes julia_parts_benchmark4.csv)
+
+Timing protocol: best-of-N wall clock of a jitted chunk, synced via a host
+transfer (the remote-tunnel analog of BenchmarkTools.@belapsed minima,
+reference: src/benchmarking/benchmarking.jl:34).
+
+Usage:
+    python benchmarks/sweep.py full  --out bench_full.csv
+    python benchmarks/sweep.py parts --out bench_parts.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpu_qg.config import ModelConfig
+from tpu_qg.constants import DAY, KM, MINUTES
+from tpu_qg.models.core import QGModel, _tendencies, init_state
+from tpu_qg.ops.spectral import HelmholtzSolver
+
+
+def _sync(x) -> float:
+    return float(jnp.sum(x))
+
+
+def _bench_cfg(M: int, dtype: str = "float32") -> ModelConfig:
+    """The reference's benchmark configuration
+    (reference: src/benchmarking/benchmarking.jl:6-26): 4000x4000 km,
+    dt=60 min, T=1 model-day, r=1e-7, kick=1e-6."""
+    return ModelConfig(
+        M=M, P=M, Lx=4000.0 * KM, Ly=4000.0 * KM,
+        dt=60.0 * MINUTES, T=1.0 * DAY, r=1e-7, initial_kick=1e-6,
+        dtype=dtype,
+    )
+
+
+def _best_of(fn, reps: int) -> float:
+    fn()  # warm / compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def sweep_full(M_list, reps: int, dtype: str):
+    """Full-model time for 1 model-day (24 steps), per M — the reference's
+    headline sweep (reference: src/benchmarking/benchmarking.jl:28-41)."""
+    rows = []
+    for M in M_list:
+        cfg = _bench_cfg(M, dtype)
+        model = QGModel(cfg)
+        state = init_state(cfg, key=jax.random.PRNGKey(0))
+        steps = cfg.total_steps
+
+        def run():
+            _sync(model.run(state, steps).zeta)
+
+        t = _best_of(run, reps)
+        rows.append({"M": M, "Time": t})
+        print(f"M = {M}: {t:.6f} s  "
+              f"({M * M * steps / t:.3e} gridpoint-steps/s)")
+    return rows
+
+
+def sweep_parts(M_list, reps: int, dtype: str):
+    """Per-part timings: tendency (the reference's evolve_zeta analog),
+    elliptic inversion (evolve_psi analog), solver setup (Cholesky
+    factorization analog), full step
+    (reference: src/benchmarking/julia_bench_parts.jl:30-52)."""
+    rows = []
+    for M in M_list:
+        cfg = _bench_cfg(M, dtype)
+        model = QGModel(cfg)
+        state = init_state(cfg, key=jax.random.PRNGKey(0))
+        state = model.run(state, 3)  # past the Euler startup
+
+        tend = jax.jit(functools.partial(_tendencies, cfg))
+
+        def t_tendency():
+            _sync(tend(state.zeta, state.psi))
+
+        poisson = HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0)
+        helm = HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig)
+        solve = jax.jit(lambda z: helm(poisson(z)))
+
+        def t_solve():
+            _sync(solve(state.zeta[0]))
+
+        def t_step():
+            _sync(model.step(state).zeta)
+
+        t0 = time.perf_counter()
+        HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig)
+        t_setup = time.perf_counter() - t0
+
+        row = {
+            "M": M,
+            "tendency": _best_of(t_tendency, reps),
+            "inversion_pair": _best_of(t_solve, reps),
+            "step": _best_of(t_step, reps),
+            "solver_setup": t_setup,
+        }
+        rows.append(row)
+        print(f"M = {M}: " + "  ".join(
+            f"{k}={v:.6f}s" for k, v in row.items() if k != "M"))
+    return rows
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("mode", choices=["full", "parts"])
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--sizes", type=int, nargs="*",
+                        default=[8, 16, 32, 64, 128, 256])
+    args = parser.parse_args(argv)
+
+    rows = (sweep_full if args.mode == "full" else sweep_parts)(
+        args.sizes, args.reps, args.dtype)
+    if args.out:
+        with open(args.out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+# %% [markdown]
+# # Benchmark result plots
+#
+# Counterpart of the reference's `benchmarking_results.ipynb` and
+# `julia_parts_graph.ipynb`: loads the CSVs written by `benchmarks/sweep.py`
+# and plots tpu_qg against the reference's published single-core numbers
+# (BASELINE.md).
+
+# %%
+import csv
+import pathlib
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+PLOTS = pathlib.Path(__file__).resolve().parent.parent / "plots"
+PLOTS.mkdir(exist_ok=True)
+
+# Reference numbers (BASELINE.md): julia_times2 / python_times2 per-M runtimes,
+# 1 model-day benchmark protocol, 1 CPU core.
+REF_M = [8, 16, 32, 64, 128, 256]
+REF_JULIA = [6.553e-3, 14.737e-3, 66.247e-3, 247.989e-3, 1.070, 5.141]
+REF_PYQG = [7.252e-3, 10.669e-3, 24.428e-3, 52.869e-3, 192.47e-3, 867.33e-3]
+
+
+# %%
+def load_csv(path):
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    return ([int(r["M"]) for r in rows],
+            {k: [float(r[k]) for r in rows] for k in rows[0] if k != "M"})
+
+
+def main(full_csv="bench_full.csv"):
+    fig, ax = plt.subplots()
+    ax.loglog(REF_M, REF_JULIA, "s--", label="reference (Julia FD, 1 CPU core)")
+    ax.loglog(REF_M, REF_PYQG, "^--", label="pyqg (pseudospectral, 1 CPU core)")
+    if pathlib.Path(full_csv).exists():
+        Ms, cols = load_csv(full_csv)
+        ax.loglog(Ms, cols["Time"], "o-", label="tpu_qg")
+    else:
+        print(f"{full_csv} not found — run benchmarks/sweep.py full first; "
+              "plotting reference curves only")
+    ax.set_xlabel("M (grid = M x M)")
+    ax.set_ylabel("runtime for 1 model-day [s]")
+    ax.legend()
+    ax.grid(True, which="both", alpha=0.3)
+    out = PLOTS / "benchmark_comparison.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -53,6 +53,10 @@ class ModelConfig:
     poisson_gauge: str = "zero_mean"
     n_layers: int = 2               # 2 = Phillips two-layer; 1 = barotropic.
     seed: int = 0                   # PRNG seed for the initial condition.
+    # Use the fused Pallas tendency kernel when running on TPU with supported
+    # shapes (P % 128 == 0, float32). Falls back to the roll-based XLA path
+    # otherwise; both produce identical results to roundoff.
+    use_pallas: bool = True
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):

@@ -67,7 +67,8 @@ class RunWriter:
             self.dir / f"checkpoint_{step:09d}.npz",
             zeta=np.asarray(state.zeta),
             psi=np.asarray(state.psi),
-            f_hist=np.asarray(state.f_hist),
+            f1=np.asarray(state.f1),
+            f2=np.asarray(state.f2),
             step=np.asarray(step),
         )
 
@@ -103,7 +104,8 @@ class RunReader:
             return State(
                 zeta=jnp.asarray(z["zeta"]),
                 psi=jnp.asarray(z["psi"]),
-                f_hist=jnp.asarray(z["f_hist"]),
+                f1=jnp.asarray(z["f1"]),
+                f2=jnp.asarray(z["f2"]),
                 step=jnp.asarray(int(z["step"]), jnp.int32),
             )
 

@@ -36,17 +36,21 @@ from ..ops.stencils import arakawa_J, centered_diff_x, laplace_5p
 class State(NamedTuple):
     """Simulation state (a JAX pytree).
 
-    zeta:   (L, M, P) potential-vorticity-like prognostic field.
-    psi:    (L, M, P) streamfunction (diagnostic, from elliptic inversion).
-    f_hist: (2, L, M, P) tendency history for AB3 — f_hist[0] is the tendency
-            of the previous step, f_hist[1] two steps back (the reference's
-            f_store slots 2 and 3, src/model.jl:101-106,129-136).
-    step:   () int32 — number of completed steps.
+    zeta: (L, M, P) potential-vorticity-like prognostic field.
+    psi:  (L, M, P) streamfunction (diagnostic, from elliptic inversion).
+    f1:   (L, M, P) tendency of the previous step (the reference's f_store
+          slot 2, src/model.jl:101-106,129-136).
+    f2:   (L, M, P) tendency two steps back (f_store slot 3). Kept as two
+          separate leaves (not a stacked (2, L, M, P) array) so the per-step
+          history shift is pure pytree re-binding — XLA aliases the buffers
+          instead of copying, unlike the reference's ring-buffer copy.
+    step: () int32 — number of completed steps.
     """
 
     zeta: Array
     psi: Array
-    f_hist: Array
+    f1: Array
+    f2: Array
     step: Array
 
 
@@ -114,6 +118,13 @@ def _build_solvers(cfg: ModelConfig):
     )
 
 
+def _use_pallas(cfg: ModelConfig) -> bool:
+    if not cfg.use_pallas or jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas_tendency import pallas_supported
+    return pallas_supported(cfg, jnp.dtype(cfg.dtype))
+
+
 def make_step_fn(cfg: ModelConfig):
     """Build the single-step transition function ``state -> state``.
 
@@ -124,19 +135,27 @@ def make_step_fn(cfg: ModelConfig):
     solvers = _build_solvers(cfg)
     dt = cfg.dt
 
+    if _use_pallas(cfg):
+        from ..ops.pallas_tendency import fused_tendency
+
+        def tendency_fn(zeta, psi):
+            return fused_tendency(cfg, zeta, psi)
+    else:
+        def tendency_fn(zeta, psi):
+            return _tendencies(cfg, zeta, psi)
+
     def step(state: State) -> State:
-        tend = _tendencies(cfg, state.zeta, state.psi)
+        tend = tendency_fn(state.zeta, state.psi)
         ab3 = dt * ((23.0 / 12.0) * tend
-                    - (16.0 / 12.0) * state.f_hist[0]
-                    + (5.0 / 12.0) * state.f_hist[1])
+                    - (16.0 / 12.0) * state.f1
+                    + (5.0 / 12.0) * state.f2)
         euler = dt * tend
         # Steps 0 and 1 (the reference's timestep 1 and 2) use Euler
         # (reference: src/model.jl:161-164).
         update = jnp.where(state.step < 2, euler, ab3)
         zeta_new = state.zeta + update
         psi_new = _invert_psi(cfg, solvers, zeta_new)
-        f_hist_new = jnp.stack([tend, state.f_hist[0]])
-        return State(zeta_new, psi_new, f_hist_new, state.step + 1)
+        return State(zeta_new, psi_new, tend, state.f1, state.step + 1)
 
     return step
 
@@ -173,8 +192,8 @@ def init_state(cfg: ModelConfig, key: Optional[Array] = None,
         z2 = lap[1] + cfg.S2_minus * (psi[0] - psi[1])
         zeta = jnp.stack([z1, z2])
 
-    f_hist = jnp.zeros((2,) + shape, dtype)
-    return State(zeta, psi, f_hist, jnp.asarray(0, jnp.int32))
+    zero = jnp.zeros(shape, dtype)
+    return State(zeta, psi, zero, zero, jnp.asarray(0, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -1,0 +1,215 @@
+"""Fused two-layer tendency as a single Pallas TPU kernel.
+
+The reference computes each tendency with six separate allocating array sweeps
+per layer (laplace x2/x3, Arakawa, centred differences — reference:
+src/model.jl:139-153 calling src/schemes/*), i.e. ~12 full-array HBM
+round-trips per step. The pure-XLA roll path already fuses much of that; this
+kernel goes the rest of the way: ONE pass over HBM computing both layers'
+complete right-hand sides
+    visc*lap(lap(psi)) - J(zeta, psi) - beta_l*d(psi)/dx - {U*d(zeta)/dx | r*lap(psi)}
+with all intermediates resident in VMEM.
+
+Strategy (see /opt/skills/guides/pallas_guide.md):
+  * Grid over row (x) tiles; each program DMAs its tile plus halo rows
+    (radius 2 for psi — the del^4 term, radius 1 for zeta) from row-wrap
+    pre-padded HBM arrays into VMEM scratch.
+  * Column (y) periodicity via in-VMEM lane rotations (pltpu.roll) — the last
+    dimension stays exactly P (128-aligned), no column padding.
+  * Both layers per program: the layer axis rides along in the DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from .stencils import arakawa_J_generic, centered_diff_x_generic
+
+
+def _col_shift(u: Array, dj: int) -> Array:
+    """Value at column j+dj with periodic wrap, as a lane rotation."""
+    if dj == 0:
+        return u
+    return pltpu.roll(u, -dj % u.shape[-1], axis=u.ndim - 1)
+
+
+def _make_tile_shift(halo: int, rows: int):
+    """Shift primitive over a row-halo-padded VMEM tile: row offsets are static
+    slices, column offsets are lane rotations."""
+    def shift(u: Array, di: int, dj: int) -> Array:
+        return _col_shift(u[halo + di:halo + di + rows, :], dj)
+    return shift
+
+
+def _lap_rows(u: Array, r0: int, rows: int, inv_dx2: float) -> Array:
+    """5-point Laplacian of rows [r0, r0+rows) of a tile with >=1 halo row on
+    each side; columns periodic via lane rotation."""
+    c = u[r0:r0 + rows, :]
+    up = u[r0 + 1:r0 + 1 + rows, :]
+    dn = u[r0 - 1:r0 - 1 + rows, :]
+    return (up + dn - 4.0 * c + _col_shift(c, 1) + _col_shift(c, -1)) * inv_dx2
+
+
+# Halo rows carried on each side of a tile. Only 2 are needed numerically
+# (del^4), but Mosaic requires 8-aligned (f32 sublane tiling) offsets and
+# sizes for memref slices and DMA windows, so the halo is padded to 8.
+_H = 8
+
+
+def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
+                     out_ref, zeta_vmem, psi_vmem, sems):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = out_ref.shape[0]
+    dx = cfg.dx
+    inv_dx2 = 1.0 / (dx * dx)
+
+    # DMA this tile plus halo rows for all layers at once, handling the
+    # periodic row wrap in the copies themselves (no pre-padded HBM copy of
+    # the inputs): body rows [i*T - H, i*T + T + H) are fetched as up to three
+    # windows — top wrap (from the array's end), body, bottom wrap (from the
+    # array's start). Only edge tiles pay the extra two small DMAs.
+    def fetch(hbm, vmem, sem_a, sem_b):
+        if n == 1:
+            # Single tile covering the whole grid: wrap both ends.
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm, vmem.at[:, _H:_H + T, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
+            cp_bot.start()
+            cp_bot.wait()
+            return
+
+        first, last = i == 0, i == n - 1
+
+        @pl.when(jnp.logical_not(first | last))
+        def _():
+            start = pl.multiple_of(i * T - _H, 8)
+            cp = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
+            cp.start()
+            cp.wait()
+
+        @pl.when(first)
+        def _():
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+
+        @pl.when(last)
+        def _():
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
+                vmem.at[:, 0:T + _H, :], sem_a)
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
+            cp_body.start()
+            cp_bot.start()
+            cp_body.wait()
+            cp_bot.wait()
+
+    fetch(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
+    fetch(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+
+    shift1 = _make_tile_shift(1, T)
+    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
+
+    for layer in range(L):
+        psi_t = psi_vmem[layer][:]       # (T+2H, P) value
+        zeta_t1 = zeta_vmem[layer][:][_H - 1:_H - 1 + T + 2, :]  # halo-1 view
+        psi_1h = psi_t[_H - 1:_H - 1 + T + 2, :]                 # halo-1 view
+
+        # del^4 psi: Laplacian at halo-1 rows, then Laplacian of that.
+        lap_psi_1h = _lap_rows(psi_t, _H - 1, T + 2, inv_dx2)    # (T+2, P)
+        visc_term = cfg.visc * _lap_rows(lap_psi_1h, 1, T, inv_dx2)
+        lap_psi = lap_psi_1h[1:T + 1, :]                         # (T, P)
+
+        jac = arakawa_J_generic(shift1, zeta_t1, psi_1h, dx)
+        dpsi_dx = centered_diff_x_generic(shift1, psi_1h, dx)
+        tend = visc_term - jac - betas[layer] * dpsi_dx
+
+        if cfg.n_layers == 1:
+            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
+            tend = tend - cfg.r * lap_psi
+        elif layer == 0:
+            # Layer 1: mean-flow advection (reference: src/model.jl:143).
+            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
+        else:
+            # Layer 2: bottom drag (reference: src/model.jl:151).
+            tend = tend - cfg.r * lap_psi
+
+        out_ref[layer] = tend
+
+
+def _pick_tile(M: int, P: int, L: int, itemsize: int) -> int:
+    """Largest row-tile T dividing M that fits VMEM (16 MB on v5e).
+
+    Footprint model: 2 halo scratches of L*(T+2H) rows, a double-buffered
+    out block of L*T rows, plus ~14 stencil temporaries of T rows per layer
+    held on the Mosaic value stack (the Arakawa shifts dominate)."""
+    budget = 14 * 1024 * 1024
+    T = M
+    while T > 8:
+        foot = P * itemsize * (L * (2 * (T + 2 * _H) + 2 * T) + 14 * T)
+        if foot <= budget and M % T == 0:
+            return T
+        T //= 2
+    return T
+
+
+def pallas_supported(cfg: ModelConfig, dtype) -> bool:
+    """The kernel requires 128-aligned columns and a row count that tiles."""
+    return (cfg.P % 128 == 0 and cfg.M % 8 == 0
+            and jnp.dtype(dtype).itemsize == 4
+            and _pick_tile(cfg.M, cfg.P, cfg.n_layers, 4) >= 8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def fused_tendency(cfg: ModelConfig, zeta: Array, psi: Array,
+                   interpret: bool = False, tile: int = 0) -> Array:
+    """Both layers' d(zeta)/dt in one fused HBM pass.
+
+    Drop-in replacement for the roll-based tendency in
+    tpu_qg.models.core._tendencies (same math, same results to roundoff).
+    ``tile=0`` auto-picks the row-tile size.
+    """
+    L, M, P = zeta.shape
+    dtype = zeta.dtype
+    T = tile or _pick_tile(M, P, L, dtype.itemsize)
+
+    kernel = functools.partial(_tendency_kernel, cfg, T, M)
+    return pl.pallas_call(
+        kernel,
+        grid=(M // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((L, T, P), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, M, P), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(zeta, psi)

@@ -26,12 +26,24 @@ emulate the reference pointwise.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RectangularDomain:
+    """Domain bounding box (reference: src/schemes/laplacian.jl:6-11)."""
+
+    x1: float
+    x2: float
+    y1: float
+    y2: float
 
 
 def periodic_laplacian_eigenvalues(M: int, P: int, dx: float) -> np.ndarray:
@@ -100,3 +112,16 @@ def solve_poisson(f: Array, dx: float, gauge: str = "zero_mean") -> Array:
     (reference: src/schemes/laplacian.jl:100-111, ``sp_solve_poisson``)."""
     M, P = f.shape[-2], f.shape[-1]
     return _solve(f, M, P, float(dx), 0.0, gauge)
+
+
+def solve_helmholtz_fn(M: int, P: int, dx: float,
+                       f_rhs: Callable[[float, float], float], alpha: float,
+                       domain: RectangularDomain) -> Array:
+    """Function-RHS modified-Helmholtz solve: sample f(x, y) on the periodic
+    interior grid, then solve (reference: src/schemes/laplacian.jl:89-98 — the
+    reference inflates on a ghost-extended grid; the interior sample points
+    x_i = x1 + i*dx, y_j = y1 + j*dx for i in 0..M-1 are identical)."""
+    xs = domain.x1 + dx * np.arange(M)
+    ys = domain.y1 + dx * np.arange(P)
+    b = np.asarray([[f_rhs(x, y) for y in ys] for x in xs])
+    return solve_helmholtz(jnp.asarray(b), dx, alpha)

@@ -25,7 +25,8 @@ def state_sharding(mesh: Mesh) -> State:
     return State(
         zeta=NamedSharding(mesh, P(None, "x", "y")),
         psi=NamedSharding(mesh, P(None, "x", "y")),
-        f_hist=NamedSharding(mesh, P(None, None, "x", "y")),
+        f1=NamedSharding(mesh, P(None, "x", "y")),
+        f2=NamedSharding(mesh, P(None, "x", "y")),
         step=NamedSharding(mesh, P()),
     )
 

@@ -69,8 +69,8 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
     def local_step(state: State) -> State:
         tend = _local_tendencies(cfg, state.zeta, state.psi, ax, ay)
         ab3 = dt * ((23.0 / 12.0) * tend
-                    - (16.0 / 12.0) * state.f_hist[0]
-                    + (5.0 / 12.0) * state.f_hist[1])
+                    - (16.0 / 12.0) * state.f1
+                    + (5.0 / 12.0) * state.f2)
         euler = dt * tend
         update = jnp.where(state.step < 2, euler, ab3)
         zeta_new = state.zeta + update
@@ -84,15 +84,35 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
             psi_new = jnp.stack([b11 * pt[0] + b12 * pt[1],
                                  b21 * pt[0] + b22 * pt[1]])
 
-        f_hist_new = jnp.stack([tend, state.f_hist[0]])
-        return State(zeta_new, psi_new, f_hist_new, state.step + 1)
+        return State(zeta_new, psi_new, tend, state.f1, state.step + 1)
 
     specs = State(
         zeta=P(None, ax, ay),
         psi=P(None, ax, ay),
-        f_hist=P(None, None, ax, ay),
+        f1=P(None, ax, ay),
+        f2=P(None, ax, ay),
         step=P(),
     )
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(specs,),
                             out_specs=specs, check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh):
+    """Returns ``run(state, n) -> state``: n halo-path steps under one
+    ``lax.scan`` (shard_map composes inside scan), compiled once per n."""
+    import functools
+
+    # make_halo_step_fn returns a jitted fn; jit-of-jit composes under scan.
+    step = make_halo_step_fn(cfg, mesh, donate=False)
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(n: int):
+        def run(state: State) -> State:
+            def body(s, _):
+                return step(s), None
+            out, _ = jax.lax.scan(body, state, None, length=n)
+            return out
+        return jax.jit(run, donate_argnums=(0,))
+
+    return lambda state, n: compiled(n)(state)

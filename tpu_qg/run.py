@@ -53,8 +53,14 @@ def run_model(
     resume: bool = False,
     verbose: bool = True,
     state: Optional[State] = None,
+    mesh=None,
+    parallel_impl: str = "halo",
 ):
     """Run the simulation, optionally streaming snapshots/checkpoints.
+
+    With ``mesh`` set, the grid is domain-decomposed over the device mesh
+    (``parallel_impl``: "halo" = shard_map ppermute + distributed FFT,
+    "gspmd" = XLA-partitioned global arrays).
 
     The reference's sampling cadence quirk — metadata says floor(day/dt) but the
     loop saves every 2*floor(day/dt) (reference: src/run_model.jl:59 vs :7-9) —
@@ -65,6 +71,13 @@ def run_model(
         log_model_params(cfg)
 
     model = QGModel(cfg)
+    if mesh is not None:
+        from .parallel.gspmd import make_sharded_run_fn, shard_state
+        from .parallel.stepper import make_halo_run_fn
+        if parallel_impl == "halo":
+            run_fn = make_halo_run_fn(cfg, mesh)
+        else:
+            run_fn = make_sharded_run_fn(cfg, mesh)
     total = cfg.total_steps if n_steps is None else n_steps
     sample_steps = max(int(sample_interval // cfg.dt), 1)
 
@@ -86,6 +99,10 @@ def run_model(
         if writer is not None:
             writer.write_snapshot(0, np.asarray(state.zeta), np.asarray(state.psi))
 
+    if mesh is not None:
+        from .parallel.gspmd import shard_state
+        state = shard_state(state, mesh)
+
     start_step = int(state.step)
     if verbose:
         print("Running simulation... \n")
@@ -93,7 +110,7 @@ def run_model(
     done = start_step
     while done < total:
         chunk = min(sample_steps, total - done)
-        state = model.run(state, chunk)
+        state = run_fn(state, chunk) if mesh is not None else model.run(state, chunk)
         done += chunk
         if writer is not None and done % sample_steps == 0:
             writer.write_snapshot(done, np.asarray(state.zeta),
@@ -130,9 +147,28 @@ def main(argv=None) -> None:
                         help="resume from latest checkpoint in --run-dir")
     parser.add_argument("--checkpoint-every", type=int, default=None)
     parser.add_argument("--no-save", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "and shard over all devices")
+    parser.add_argument("--mesh", default=None, metavar="NX,NY",
+                        help="device mesh shape (default: all devices, "
+                             "most-square)")
+    parser.add_argument("--parallel", default="halo",
+                        choices=["halo", "gspmd"],
+                        help="sharded implementation (with --mesh or "
+                             "--distributed)")
     parser.add_argument("--set", nargs="*", default=[],
                         metavar="KEY=VALUE", help="config field overrides")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    mesh = None
+    if args.distributed or args.mesh:
+        from .parallel import make_mesh
+        shape = tuple(int(v) for v in args.mesh.split(",")) if args.mesh else None
+        mesh = make_mesh(shape)
 
     cfg = preset(args.preset)
     overrides = {}
@@ -151,6 +187,8 @@ def main(argv=None) -> None:
         n_steps=args.steps,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        mesh=mesh,
+        parallel_impl=args.parallel,
     )
     print(f"\n Total runtime: {time.perf_counter() - t0:.2f} s")
 
