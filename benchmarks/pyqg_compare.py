@@ -10,6 +10,10 @@ src/benchmarking/benchmarking.py:9-39).
 
 from __future__ import annotations
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import argparse
 import csv
 import time

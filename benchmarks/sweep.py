@@ -18,6 +18,10 @@ Usage:
 
 from __future__ import annotations
 
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import argparse
 import csv
 import functools

@@ -51,6 +51,55 @@ def test_multiple_row_tiles():
                                atol=1e-6 * np.abs(ref).max())
 
 
+def test_fused_pre_inversion_matches_xla():
+    """v2 kernel: tendency + Euler/AB3 update + modal projection fused."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_pre_inversion
+
+    cfg = _cfg(M=256, P=128)
+    zeta, psi = _rand((2, 256, 128), 6), _rand((2, 256, 128), 7)
+    f1, f2 = _rand((2, 256, 128), 8), _rand((2, 256, 128), 9)
+
+    for step in (0, 1, 2, 7):
+        tend_ref = _tendencies(cfg, zeta, psi)
+        upd = jnp.where(jnp.asarray(step) < 2, cfg.dt * tend_ref,
+                        cfg.dt * ((23 / 12) * tend_ref - (16 / 12) * f1
+                                  + (5 / 12) * f2))
+        zn_ref = zeta + upd
+        (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
+        modes_ref = np.stack([
+            np.asarray(pi11 * zn_ref[0] + pi12 * zn_ref[1]),
+            np.asarray(pi21 * zn_ref[0] + pi22 * zn_ref[1])])
+        zn, tend, modes = fused_pre_inversion(
+            cfg, zeta, psi, f1, f2, jnp.asarray(step), True)
+        np.testing.assert_allclose(
+            np.asarray(tend), np.asarray(tend_ref), rtol=0,
+            atol=1e-6 * np.abs(np.asarray(tend_ref)).max(),
+            err_msg=f"tend step={step}")
+        np.testing.assert_allclose(
+            np.asarray(zn), np.asarray(zn_ref), rtol=0,
+            atol=1e-6 * np.abs(np.asarray(zn_ref)).max(),
+            err_msg=f"zeta_new step={step}")
+        np.testing.assert_allclose(
+            np.asarray(modes), modes_ref, rtol=0,
+            atol=1e-6 * np.abs(modes_ref).max(), err_msg=f"modes step={step}")
+
+
+def test_fused_pre_inversion_single_layer():
+    from tpu_qg.ops.pallas_tendency import fused_pre_inversion
+    import jax.numpy as jnp
+
+    cfg = _cfg(n_layers=1)
+    zeta, psi = _rand((1, 64, 128), 10), _rand((1, 64, 128), 11)
+    f1, f2 = _rand((1, 64, 128), 12), _rand((1, 64, 128), 13)
+    zn, tend, modes = fused_pre_inversion(
+        cfg, zeta, psi, f1, f2, jnp.asarray(5), True)
+    tend_ref = np.asarray(_tendencies(cfg, zeta, psi))
+    np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
+                               atol=1e-6 * np.abs(tend_ref).max())
+    np.testing.assert_array_equal(np.asarray(modes), np.asarray(zn))
+
+
 def test_supported_predicate():
     assert pallas_supported(_cfg(), jnp.float32)
     assert not pallas_supported(_cfg(P=100), jnp.float32)  # not 128-aligned

@@ -96,22 +96,34 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
     cfg.back_projection_matrix().
     """
     if cfg.n_layers == 1:
-        poisson, = solvers
-        return poisson(zeta)
+        if isinstance(solvers, tuple):
+            return solvers[0](zeta)
+        return solvers(zeta)
 
-    poisson, helmholtz = solvers
     (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
     zt1 = pi11 * zeta[0] + pi12 * zeta[1]   # barotropic mode
     zt2 = pi21 * zeta[0] + pi22 * zeta[1]   # baroclinic mode
-    pt1 = poisson(zt1)                      # lap(pt1) = zt1   (zero-mean/pin gauge)
-    pt2 = helmholtz(zt2)                    # (lap + S_eig)(pt2) = zt2
+    if isinstance(solvers, tuple):
+        # Per-mode transforms (the GSPMD-partitionable form: XLA's CPU FFT
+        # thunk rejects the batched form's layout under sharding).
+        poisson, helmholtz = solvers
+        pt0, pt1_ = poisson(zt1), helmholtz(zt2)
+    else:
+        pt = solvers(jnp.stack([zt1, zt2]))  # one batched rfft2/irfft2 pair
+        pt0, pt1_ = pt[0], pt[1]
     (p11, p12), (p21, p22) = cfg.back_projection_matrix()
-    return jnp.stack([p11 * pt1 + p12 * pt2, p21 * pt1 + p22 * pt2])
+    return jnp.stack([p11 * pt0 + p12 * pt1_, p21 * pt0 + p22 * pt1_])
 
 
-def _build_solvers(cfg: ModelConfig):
+def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):
+    from ..ops.spectral import BatchedModalSolver
+    if batched_fft:
+        alphas = (0.0,) if cfg.n_layers == 1 else (0.0, cfg.S_eig)
+        return BatchedModalSolver(cfg.M, cfg.P, cfg.dx, alphas,
+                                  gauge=cfg.poisson_gauge)
     if cfg.n_layers == 1:
-        return (HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0, gauge=cfg.poisson_gauge),)
+        return (HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0,
+                                gauge=cfg.poisson_gauge),)
     return (
         HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0, gauge=cfg.poisson_gauge),
         HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig),
@@ -125,27 +137,40 @@ def _use_pallas(cfg: ModelConfig) -> bool:
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))
 
 
-def make_step_fn(cfg: ModelConfig):
+def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
     """Build the single-step transition function ``state -> state``.
 
     One step = evolve zeta (Euler for the first two steps, AB3 after —
     reference: src/model.jl:155-170) then invert for psi (reference:
     src/model.jl:172-199, called at src/run_model.jl:83-84).
+
+    ``batched_fft=False`` uses per-mode transforms — required under GSPMD
+    sharding on the CPU backend.
     """
-    solvers = _build_solvers(cfg)
+    solvers = _build_solvers(cfg, batched_fft)
     dt = cfg.dt
 
-    if _use_pallas(cfg):
-        from ..ops.pallas_tendency import fused_tendency
+    if _use_pallas(cfg) and batched_fft:
+        # Fused Pallas path: tendency + Euler/AB3 update + modal projection in
+        # one kernel, then the batched spectral solve + back-projection.
+        from ..ops.pallas_tendency import fused_pre_inversion
 
-        def tendency_fn(zeta, psi):
-            return fused_tendency(cfg, zeta, psi)
-    else:
-        def tendency_fn(zeta, psi):
-            return _tendencies(cfg, zeta, psi)
+        def step(state: State) -> State:
+            zeta_new, tend, modes = fused_pre_inversion(
+                cfg, state.zeta, state.psi, state.f1, state.f2, state.step)
+            pt = solvers(modes)
+            if cfg.n_layers == 1:
+                psi_new = pt
+            else:
+                (p11, p12), (p21, p22) = cfg.back_projection_matrix()
+                psi_new = jnp.stack([p11 * pt[0] + p12 * pt[1],
+                                     p21 * pt[0] + p22 * pt[1]])
+            return State(zeta_new, psi_new, tend, state.f1, state.step + 1)
+
+        return step
 
     def step(state: State) -> State:
-        tend = tendency_fn(state.zeta, state.psi)
+        tend = _tendencies(cfg, state.zeta, state.psi)
         ab3 = dt * ((23.0 / 12.0) * tend
                     - (16.0 / 12.0) * state.f1
                     + (5.0 / 12.0) * state.f2)

@@ -213,3 +213,196 @@ def fused_tendency(cfg: ModelConfig, zeta: Array, psi: Array,
         ],
         interpret=interpret,
     )(zeta, psi)
+
+
+# ---------------------------------------------------------------------------
+# v2: tendency + AB3/Euler update + modal projection in one kernel.
+# ---------------------------------------------------------------------------
+
+def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
+                          zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+                          zeta_new_ref, tend_ref, modes_ref,
+                          zeta_vmem, psi_vmem, f1_vmem, f2_vmem, sems):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = tend_ref.shape[0]
+    dx = cfg.dx
+    inv_dx2 = 1.0 / (dx * dx)
+    dt = cfg.dt
+
+    def fetch_center(hbm, vmem, sem):
+        cp = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(i * T, 8), T), :], vmem, sem)
+        cp.start()
+        return cp
+
+    def fetch_halo(hbm, vmem, sem_a, sem_b):
+        """Fetch rows [i*T - H, i*T + T + H) with periodic wrap (same scheme
+        as the v1 kernel)."""
+        if n == 1:
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm, vmem.at[:, _H:_H + T, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
+            cp_bot.start()
+            cp_bot.wait()
+            return
+
+        first, last = i == 0, i == n - 1
+
+        @pl.when(jnp.logical_not(first | last))
+        def _():
+            start = pl.multiple_of(i * T - _H, 8)
+            cp = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
+            cp.start()
+            cp.wait()
+
+        @pl.when(first)
+        def _():
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+
+        @pl.when(last)
+        def _():
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
+                vmem.at[:, 0:T + _H, :], sem_a)
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
+            cp_body.start()
+            cp_bot.start()
+            cp_body.wait()
+            cp_bot.wait()
+
+    # Start the halo-free history fetches, then the halo fetches (which wait).
+    cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
+    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5])
+    fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
+    fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+
+    shift1 = _make_tile_shift(1, T)
+    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
+
+    tends = []
+    for layer in range(L):
+        psi_t = psi_vmem[layer][:]
+        zeta_t1 = zeta_vmem[layer][:][_H - 1:_H - 1 + T + 2, :]
+        psi_1h = psi_t[_H - 1:_H - 1 + T + 2, :]
+
+        lap_psi_1h = _lap_rows(psi_t, _H - 1, T + 2, inv_dx2)
+        visc_term = cfg.visc * _lap_rows(lap_psi_1h, 1, T, inv_dx2)
+        lap_psi = lap_psi_1h[1:T + 1, :]
+
+        jac = arakawa_J_generic(shift1, zeta_t1, psi_1h, dx)
+        dpsi_dx = centered_diff_x_generic(shift1, psi_1h, dx)
+        tend = visc_term - jac - betas[layer] * dpsi_dx
+        if cfg.n_layers == 1:
+            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
+            tend = tend - cfg.r * lap_psi
+        elif layer == 0:
+            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
+        else:
+            tend = tend - cfg.r * lap_psi
+        tends.append(tend)
+        tend_ref[layer] = tend
+
+    cp_f1.wait()
+    cp_f2.wait()
+    is_euler = step_ref[0] < 2
+    z_new = []
+    for layer in range(L):
+        f1_t = f1_vmem[layer][:]
+        f2_t = f2_vmem[layer][:]
+        ab3 = dt * ((23.0 / 12.0) * tends[layer]
+                    - (16.0 / 12.0) * f1_t + (5.0 / 12.0) * f2_t)
+        euler = dt * tends[layer]
+        upd = jnp.where(is_euler, euler, ab3)
+        zc = zeta_vmem[layer][:][_H:_H + T, :]
+        zn = zc + upd
+        z_new.append(zn)
+        zeta_new_ref[layer] = zn
+
+    # Modal projection (reference: src/model.jl:179-182) fused in.
+    if cfg.n_layers == 1:
+        modes_ref[0] = z_new[0]
+    else:
+        (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
+        modes_ref[0] = pi11 * z_new[0] + pi12 * z_new[1]
+        modes_ref[1] = pi21 * z_new[0] + pi22 * z_new[1]
+
+
+def _pick_tile_v2(M: int, P: int, L: int, itemsize: int) -> int:
+    """Tile picker for the fused pre-inversion kernel: adds f1/f2 scratches and
+    three double-buffered outputs to the v1 footprint model."""
+    budget = 13 * 1024 * 1024
+    T = M
+    while T > 8:
+        foot = P * itemsize * (
+            L * (2 * (T + 2 * _H) + 2 * T + 6 * T) + 14 * T)
+        if foot <= budget and M % T == 0:
+            return T
+        T //= 2
+    return T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def fused_pre_inversion(cfg: ModelConfig, zeta: Array, psi: Array,
+                        f1: Array, f2: Array, step: Array,
+                        interpret: bool = False, tile: int = 0):
+    """Tendency + Euler/AB3 zeta update + modal projection in one HBM pass.
+
+    Returns (zeta_new, tend, modes): everything the step needs before the
+    spectral inversion. Replaces the separate tendency kernel plus ~5 XLA
+    elementwise passes (reference counterparts: src/model.jl:123-136 update and
+    :179-182 projection).
+    """
+    L, M, P = zeta.shape
+    dtype = zeta.dtype
+    T = tile or _pick_tile_v2(M, P, L, dtype.itemsize)
+    K = 1 if cfg.n_layers == 1 else 2
+
+    kernel = functools.partial(_pre_inversion_kernel, cfg, T, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((L, T, P), dtype),
+            pltpu.VMEM((L, T, P), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    zeta_new, tend, modes = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((K, M, P), dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
+    return zeta_new, tend, modes

@@ -92,6 +92,36 @@ class HelmholtzSolver:
         return u
 
 
+class BatchedModalSolver:
+    """Solve K independent (lap + alpha_k) u_k = f_k problems in ONE
+    rfft2/irfft2 pair over a stacked (K, M, P) input — halves transform count
+    vs per-mode HelmholtzSolver calls in the two-layer inversion
+    (reference counterpart: the two backsolves in src/model.jl:184-192)."""
+
+    def __init__(self, M: int, P: int, dx: float, alphas, gauge: str = "zero_mean"):
+        self.M, self.P = M, P
+        self.gauge = gauge
+        self.alphas = tuple(alphas)
+        lam = periodic_laplacian_eigenvalues(M, P, dx)[None, :, :]
+        denom = lam + np.asarray(self.alphas)[:, None, None]
+        singular = np.abs(denom) < 1e-30
+        denom = np.where(singular, 1.0, denom)
+        inv = 1.0 / denom
+        inv[singular] = 0.0
+        self.inv_symbol = inv  # (K, M, P//2+1)
+
+    def __call__(self, f: Array) -> Array:
+        f_hat = jnp.fft.rfft2(f, axes=(-2, -1))
+        u_hat = f_hat * jnp.asarray(self.inv_symbol, dtype=f_hat.real.dtype)
+        u = jnp.fft.irfft2(u_hat, s=(self.M, self.P), axes=(-2, -1))
+        u = u.astype(f.dtype)
+        if self.gauge == "pin":
+            for i, a in enumerate(self.alphas):
+                if a == 0.0:
+                    u = u.at[i].add(-u[i, 0, 0])
+        return u
+
+
 @functools.partial(jax.jit, static_argnames=("M", "P", "dx", "alpha", "gauge"))
 def _solve(f, M, P, dx, alpha, gauge):
     return HelmholtzSolver(M, P, dx, alpha, gauge=gauge)(f)

@@ -45,7 +45,7 @@ def make_sharded_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
     ``store_new_state!`` ring buffer (reference: src/model.jl:101-106) without
     any aliasing hazards.
     """
-    step = make_step_fn(cfg)
+    step = make_step_fn(cfg, batched_fft=False)
     sh = state_sharding(mesh)
     return jax.jit(
         step,
@@ -60,7 +60,7 @@ def make_sharded_run_fn(cfg: ModelConfig, mesh: Mesh):
     mesh-sharded carry, compiled once per distinct n."""
     import functools
 
-    step = make_step_fn(cfg)
+    step = make_step_fn(cfg, batched_fft=False)
     sh = state_sharding(mesh)
 
     @functools.lru_cache(maxsize=None)

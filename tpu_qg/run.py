@@ -137,6 +137,14 @@ def run_model_no_output(cfg: ModelConfig, n_steps: Optional[int] = None) -> Stat
 
 
 def main(argv=None) -> None:
+    # Persistent compile cache: Pallas-containing step programs take minutes
+    # to compile through the remote TPU tunnel.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     parser = argparse.ArgumentParser(description="TPU-native two-layer QG solver")
     parser.add_argument("--preset", default="production",
                         help="named config preset (see tpu_qg.config.preset)")
