@@ -57,6 +57,22 @@ class ModelConfig:
     # shapes (P % 128 == 0, float32). Falls back to the roll-based XLA path
     # otherwise; both produce identical results to roundoff.
     use_pallas: bool = True
+    # Time scheme: "euler_ab3" = the reference's Euler(2 steps)->AB3
+    # (reference: src/model.jl:123-136); "leapfrog_ra" = leapfrog with a
+    # Robert-Asselin filter (an extension beyond the reference, for the
+    # BASELINE leapfrog configs).
+    time_scheme: str = "euler_ab3"
+    ra_filter: float = 0.06         # Robert-Asselin filter coefficient.
+    # Wind-stress curl forcing amplitude tau_0 [N/m^2] for a double-gyre:
+    # layer-1 PV forcing -(2 pi tau_0 / (rho_0 H_1 Ly)) * sin(2 pi y / Ly)
+    # (two counter-rotating gyres on the doubly-periodic domain). 0 disables.
+    # Extension beyond the reference (its only forcing is the imposed shear U).
+    wind_tau0: float = 0.0
+    rho0: float = 1025.0            # Reference seawater density [kg/m^3].
+    # Initial condition: "random" = the reference's noise kick
+    # (reference: src/model.jl:41-42); "vortex" = Gaussian vortex dipole
+    # (BASELINE config 1's barotropic vortex).
+    ic_type: str = "random"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -65,6 +81,10 @@ class ModelConfig:
             raise ValueError(f"unsupported poisson_gauge {self.poisson_gauge!r}")
         if self.n_layers not in (1, 2):
             raise ValueError("n_layers must be 1 or 2")
+        if self.time_scheme not in ("euler_ab3", "leapfrog_ra"):
+            raise ValueError(f"unsupported time_scheme {self.time_scheme!r}")
+        if self.ic_type not in ("random", "vortex"):
+            raise ValueError(f"unsupported ic_type {self.ic_type!r}")
 
     # --- derived geometry ---
     @property
@@ -168,15 +188,19 @@ def preset(name: str) -> ModelConfig:
     presets = {
         # Reference production config (reference: src/run_model.jl:98-116).
         "production": ModelConfig(),
-        # BASELINE config 1: single-layer barotropic vortex, 128^2, CPU-runnable.
+        # BASELINE config 1: single-layer barotropic vortex, 128^2, leapfrog,
+        # CPU-runnable.
         "barotropic-128": ModelConfig(
             n_layers=1, M=128, P=128, Lx=4000.0 * KM, Ly=4000.0 * KM,
             dt=30.0 * MINUTES, T=30.0 * DAY, U=0.0, r=0.0, visc=100.0,
+            time_scheme="leapfrog_ra", ic_type="vortex",
         ),
-        # BASELINE config 2: two-layer 256^2.
+        # BASELINE config 2: two-layer 256^2, wind-driven double-gyre,
+        # Robert-Asselin filter.
         "two-layer-256": ModelConfig(
             M=256, P=256, Lx=4000.0 * KM, Ly=4000.0 * KM,
             dt=15.0 * MINUTES, T=1.0 * YEAR,
+            time_scheme="leapfrog_ra", wind_tau0=0.1,
         ),
         # BASELINE config 3: two-layer baroclinic instability spinup, 512^2,
         # 10k-step allclose check config (float64).

@@ -75,7 +75,10 @@ def _tendencies(cfg: ModelConfig, zeta: Array, psi: Array) -> Array:
     if cfg.n_layers == 1:
         u_term = cfg.U * centered_diff_x(zeta, dx)
         drag = cfg.r * lap_psi
-        return visc_term - jac - cfg.beta * dpsi_dx - u_term - drag
+        tend = visc_term - jac - cfg.beta * dpsi_dx - u_term - drag
+        if cfg.wind_tau0 != 0.0:
+            tend = tend + _wind_forcing(cfg, dtype)[None]
+        return tend
 
     betas = jnp.asarray([cfg.beta_1, cfg.beta_2], dtype)[:, None, None]
     beta_term = betas * dpsi_dx
@@ -83,7 +86,21 @@ def _tendencies(cfg: ModelConfig, zeta: Array, psi: Array) -> Array:
     u_term = cfg.U * centered_diff_x(zeta[0], dx)
     drag = cfg.r * lap_psi[1]
     extra = jnp.stack([u_term, drag])
-    return visc_term - jac - beta_term - extra
+    tend = visc_term - jac - beta_term - extra
+    if cfg.wind_tau0 != 0.0:
+        tend = tend.at[0].add(_wind_forcing(cfg, dtype))
+    return tend
+
+
+def _wind_forcing(cfg: ModelConfig, dtype) -> Array:
+    """Double-gyre wind-stress-curl PV forcing on the top layer:
+    F(y) = -(2 pi tau_0 / (rho_0 H_1 Ly)) sin(2 pi y / Ly), broadcast over x
+    (two counter-rotating gyres on the periodic domain). Extension beyond the
+    reference, whose only forcing is the imposed shear U. Shape (1, P)."""
+    y = np.arange(cfg.P) * cfg.dx
+    amp = 2.0 * np.pi * cfg.wind_tau0 / (cfg.rho0 * cfg.H_1 * cfg.Ly)
+    f = -amp * np.sin(2.0 * np.pi * y / cfg.Ly)
+    return jnp.asarray(f, dtype)[None, :]
 
 
 def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
@@ -133,6 +150,9 @@ def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):
 def _use_pallas(cfg: ModelConfig) -> bool:
     if not cfg.use_pallas or jax.default_backend() != "tpu":
         return False
+    # The fused kernel bakes in the Euler->AB3 update and no wind term.
+    if cfg.time_scheme != "euler_ab3" or cfg.wind_tau0 != 0.0:
+        return False
     from ..ops.pallas_tendency import pallas_supported
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))
 
@@ -149,6 +169,28 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
     """
     solvers = _build_solvers(cfg, batched_fft)
     dt = cfg.dt
+
+    if cfg.time_scheme == "leapfrog_ra":
+        # Leapfrog with Robert-Asselin filter (extension beyond the reference,
+        # for the BASELINE leapfrog configs). Carry convention: State.f1 holds
+        # the *filtered* zeta of the previous level (zeta_bar^{n-1}); f2 is
+        # unused. Step 0 is forward Euler with zeta_bar^{-1} := zeta^0.
+        ra = cfg.ra_filter
+
+        def step(state: State) -> State:
+            tend = _tendencies(cfg, state.zeta, state.psi)
+            zeta_prev_f = jnp.where(state.step == 0, state.zeta, state.f1)
+            leap = zeta_prev_f + (2.0 * dt) * tend
+            euler = state.zeta + dt * tend
+            zeta_new = jnp.where(state.step == 0, euler, leap)
+            # Robert-Asselin filter of the *current* level for the next step.
+            zeta_filt = state.zeta + ra * (zeta_prev_f - 2.0 * state.zeta
+                                           + zeta_new)
+            psi_new = _invert_psi(cfg, solvers, zeta_new)
+            return State(zeta_new, psi_new, zeta_filt, state.f2,
+                         state.step + 1)
+
+        return step
 
     if _use_pallas(cfg) and batched_fft:
         # Fused Pallas path: tendency + Euler/AB3 update + modal projection in
@@ -203,6 +245,22 @@ def init_state(cfg: ModelConfig, key: Optional[Array] = None,
 
     if psi_init is not None:
         psi = jnp.asarray(psi_init, dtype).reshape(shape)
+    elif cfg.ic_type == "vortex":
+        # Gaussian vortex dipole (BASELINE config 1's barotropic vortex):
+        # two opposite-signed Gaussian streamfunction bumps, periodic-friendly.
+        x = (np.arange(cfg.M) + 0.5) * cfg.dx
+        y = (np.arange(cfg.P) + 0.5) * cfg.dx
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        sigma = 0.08 * min(cfg.Lx, cfg.Ly)
+        amp = cfg.initial_kick * (abs(cfg.U) or 1.0) * cfg.Ly
+
+        def bump(cx, cy, s):
+            return s * np.exp(-(((X - cx) ** 2 + (Y - cy) ** 2)
+                                / (2.0 * sigma ** 2)))
+
+        field = (bump(0.35 * cfg.Lx, 0.5 * cfg.Ly, amp)
+                 + bump(0.65 * cfg.Lx, 0.5 * cfg.Ly, -amp))
+        psi = jnp.broadcast_to(jnp.asarray(field, dtype), shape)
     else:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)

@@ -41,13 +41,34 @@ def _local_tendencies(cfg: ModelConfig, zeta, psi, ax: str, ay: str):
 
     if cfg.n_layers == 1:
         u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad, dx)
-        return visc_term - jac - cfg.beta * dpsi_dx - u_term - cfg.r * lap_psi
+        tend = visc_term - jac - cfg.beta * dpsi_dx - u_term - cfg.r * lap_psi
+        if cfg.wind_tau0 != 0.0:
+            tend = tend + _local_wind_forcing(cfg, tend.dtype, ay)[None]
+        return tend
 
     betas = jnp.asarray([cfg.beta_1, cfg.beta_2], dtype)[:, None, None]
     u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad[0], dx)
     drag = cfg.r * lap_psi[1]
     extra = jnp.stack([u_term, drag])
-    return visc_term - jac - betas * dpsi_dx - extra
+    tend = visc_term - jac - betas * dpsi_dx - extra
+    if cfg.wind_tau0 != 0.0:
+        tend = tend.at[0].add(_local_wind_forcing(cfg, dtype, ay))
+    return tend
+
+
+def _local_wind_forcing(cfg: ModelConfig, dtype, ay: str):
+    """Per-shard slice of the double-gyre forcing (models.core._wind_forcing):
+    the y axis is sharded, so each device takes its own columns."""
+    import numpy as np
+    from jax import lax
+
+    y = np.arange(cfg.P) * cfg.dx
+    amp = 2.0 * np.pi * cfg.wind_tau0 / (cfg.rho0 * cfg.H_1 * cfg.Ly)
+    full = jnp.asarray(-amp * np.sin(2.0 * np.pi * y / cfg.Ly), dtype)
+    ny = lax.axis_size(ay)
+    p_local = cfg.P // ny
+    j = lax.axis_index(ay)
+    return lax.dynamic_slice(full, (j * p_local,), (p_local,))[None, :]
 
 
 def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
@@ -68,12 +89,24 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
 
     def local_step(state: State) -> State:
         tend = _local_tendencies(cfg, state.zeta, state.psi, ax, ay)
-        ab3 = dt * ((23.0 / 12.0) * tend
-                    - (16.0 / 12.0) * state.f1
-                    + (5.0 / 12.0) * state.f2)
-        euler = dt * tend
-        update = jnp.where(state.step < 2, euler, ab3)
-        zeta_new = state.zeta + update
+        if cfg.time_scheme == "leapfrog_ra":
+            # Leapfrog + Robert-Asselin (see models.core for the convention:
+            # f1 carries the filtered previous level).
+            zeta_prev_f = jnp.where(state.step == 0, state.zeta, state.f1)
+            leap = zeta_prev_f + (2.0 * dt) * tend
+            euler0 = state.zeta + dt * tend
+            zeta_new = jnp.where(state.step == 0, euler0, leap)
+            zeta_filt = state.zeta + cfg.ra_filter * (
+                zeta_prev_f - 2.0 * state.zeta + zeta_new)
+            f1_new, f2_new = zeta_filt, state.f2
+        else:
+            ab3 = dt * ((23.0 / 12.0) * tend
+                        - (16.0 / 12.0) * state.f1
+                        + (5.0 / 12.0) * state.f2)
+            euler = dt * tend
+            update = jnp.where(state.step < 2, euler, ab3)
+            zeta_new = state.zeta + update
+            f1_new, f2_new = tend, state.f1
 
         if cfg.n_layers == 1:
             psi_new = solver(zeta_new)
@@ -84,7 +117,7 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
             psi_new = jnp.stack([b11 * pt[0] + b12 * pt[1],
                                  b21 * pt[0] + b22 * pt[1]])
 
-        return State(zeta_new, psi_new, tend, state.f1, state.step + 1)
+        return State(zeta_new, psi_new, f1_new, f2_new, state.step + 1)
 
     specs = State(
         zeta=P(None, ax, ay),
