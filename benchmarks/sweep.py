@@ -40,14 +40,19 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def _bench_cfg(M: int, dtype: str = "float32") -> ModelConfig:
+def _bench_cfg(M: int, dtype: str = "float32",
+               use_pallas: bool = False) -> ModelConfig:
     """The reference's benchmark configuration
     (reference: src/benchmarking/benchmarking.jl:6-26): 4000x4000 km,
-    dt=60 min, T=1 model-day, r=1e-7, kick=1e-6."""
+    dt=60 min, T=1 model-day, r=1e-7, kick=1e-6.
+
+    use_pallas defaults OFF here: each M would recompile the Pallas-containing
+    program (~10 min each through the remote tunnel); the XLA path keeps the
+    sweep tractable. Pass --pallas for the fused-kernel numbers."""
     return ModelConfig(
         M=M, P=M, Lx=4000.0 * KM, Ly=4000.0 * KM,
         dt=60.0 * MINUTES, T=1.0 * DAY, r=1e-7, initial_kick=1e-6,
-        dtype=dtype,
+        dtype=dtype, use_pallas=use_pallas,
     )
 
 
@@ -61,12 +66,12 @@ def _best_of(fn, reps: int) -> float:
     return best
 
 
-def sweep_full(M_list, reps: int, dtype: str):
+def sweep_full(M_list, reps: int, dtype: str, use_pallas: bool = False):
     """Full-model time for 1 model-day (24 steps), per M — the reference's
     headline sweep (reference: src/benchmarking/benchmarking.jl:28-41)."""
     rows = []
     for M in M_list:
-        cfg = _bench_cfg(M, dtype)
+        cfg = _bench_cfg(M, dtype, use_pallas)
         model = QGModel(cfg)
         state = init_state(cfg, key=jax.random.PRNGKey(0))
         steps = cfg.total_steps
@@ -81,14 +86,14 @@ def sweep_full(M_list, reps: int, dtype: str):
     return rows
 
 
-def sweep_parts(M_list, reps: int, dtype: str):
+def sweep_parts(M_list, reps: int, dtype: str, use_pallas: bool = False):
     """Per-part timings: tendency (the reference's evolve_zeta analog),
     elliptic inversion (evolve_psi analog), solver setup (Cholesky
     factorization analog), full step
     (reference: src/benchmarking/julia_bench_parts.jl:30-52)."""
     rows = []
     for M in M_list:
-        cfg = _bench_cfg(M, dtype)
+        cfg = _bench_cfg(M, dtype, use_pallas)
         model = QGModel(cfg)
         state = init_state(cfg, key=jax.random.PRNGKey(0))
         state = model.run(state, 3)  # past the Euler startup
@@ -133,10 +138,12 @@ def main(argv=None):
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--sizes", type=int, nargs="*",
                         default=[8, 16, 32, 64, 128, 256])
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas kernel (slow compiles)")
     args = parser.parse_args(argv)
 
     rows = (sweep_full if args.mode == "full" else sweep_parts)(
-        args.sizes, args.reps, args.dtype)
+        args.sizes, args.reps, args.dtype, args.pallas)
     if args.out:
         with open(args.out, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=list(rows[0]))

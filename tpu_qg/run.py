@@ -117,8 +117,19 @@ def run_model(
                                   np.asarray(state.psi))
         if writer is not None and checkpoint_every and done % checkpoint_every == 0:
             writer.write_checkpoint(state)
+        d = diagnostics(cfg, state)
+        import math
+        if not math.isfinite(d["max_abs_zeta"]):
+            # Failure detection: NaN/Inf in the state. Save what we have for
+            # post-mortem + restart (the reference would silently write garbage
+            # and keep going — SURVEY.md section 5, no failure detection).
+            if writer is not None:
+                writer.write_checkpoint(state)
+            raise FloatingPointError(
+                f"non-finite state at step {done} (max|zeta|="
+                f"{d['max_abs_zeta']}); diagnostics: {d}"
+                + (" — emergency checkpoint written" if writer else ""))
         if verbose:
-            d = diagnostics(cfg, state)
             rate = (done - start_step) * cfg.M * cfg.P / (time.perf_counter() - t0)
             print(f"step {done}/{total}  cfl={d['cfl']:.3f}  "
                   f"ke1={d.get('ke_1', float('nan')):.3e}  "
@@ -155,6 +166,9 @@ def main(argv=None) -> None:
                         help="resume from latest checkpoint in --run-dir")
     parser.add_argument("--checkpoint-every", type=int, default=None)
     parser.add_argument("--no-save", action="store_true")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (traps the op that "
+                             "produced the first NaN; slow)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "and shard over all devices")
@@ -168,6 +182,9 @@ def main(argv=None) -> None:
     parser.add_argument("--set", nargs="*", default=[],
                         metavar="KEY=VALUE", help="config field overrides")
     args = parser.parse_args(argv)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.distributed:
         jax.distributed.initialize()
