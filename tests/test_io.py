@@ -5,7 +5,7 @@ import numpy as np
 from tpu_qg.config import ModelConfig
 from tpu_qg.constants import KM, MINUTES, YEAR
 from tpu_qg.io import RunReader, RunWriter, create_metadata
-from tpu_qg.models import QGModel, init_state
+from tpu_qg.models import QGModel
 
 
 def small_cfg(**kw):

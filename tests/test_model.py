@@ -2,7 +2,6 @@
 properties the reference lacks (SURVEY.md section 4 gap-filling)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

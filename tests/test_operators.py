@@ -2,7 +2,6 @@
 (reference: src/test.jl:219-276)."""
 
 import numpy as np
-import scipy.sparse.linalg as spla
 
 from tpu_qg.ops import operators as op
 

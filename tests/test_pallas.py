@@ -3,7 +3,6 @@ path is exercised on real TPU by bench.py and the driver)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpu_qg.config import ModelConfig
 from tpu_qg.constants import KM

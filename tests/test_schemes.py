@@ -122,7 +122,6 @@ def test_double_gyre_preset_runs():
 def test_leapfrog_wind_on_halo_path():
     """Leapfrog + wind forcing match single-device results on the sharded
     halo-exchange path."""
-    import jax
     from tpu_qg.parallel import make_mesh, make_halo_step_fn, shard_state
 
     cfg = small_cfg(time_scheme="leapfrog_ra", wind_tau0=0.2)

@@ -21,7 +21,6 @@ Strategy (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

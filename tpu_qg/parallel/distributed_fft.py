@@ -47,9 +47,14 @@ class DistributedHelmholtzSolver:
 
     def _inv_symbol(self, col_offset, width: int, dtype) -> Array:
         """(K, M, width) inverse symbol for the local column strip starting at
-        traced ``col_offset``."""
+        traced ``col_offset`` (rfft frequency indexing; columns beyond P//2
+        are zero-padded data, so their lam value is irrelevant but must keep
+        dynamic_slice in bounds)."""
         lam_x = jnp.asarray(self.lam_x, dtype)[None, :, None]
-        lam_y_full = jnp.asarray(self.lam_y, dtype)
+        lam_y_full = jnp.concatenate([
+            jnp.asarray(self.lam_y, dtype),
+            jnp.full((self.P,), 1.0, dtype),  # padding guard
+        ])
         lam_y = lax.dynamic_slice(lam_y_full, (col_offset,), (width,))[None, None, :]
         alphas = jnp.asarray(self.alphas, dtype)[:, None, None]
         denom = lam_x + lam_y + alphas
@@ -72,27 +77,34 @@ class DistributedHelmholtzSolver:
         assert m % ny == 0 and self.P % n == 0, (
             "tile rows must divide by ny and P by nx*ny for the transposes")
 
-        # (1) y-transpose: (K, m, p) -> (K, m/ny, P)
+        # (1) y-transpose: (K, m, p) -> (K, m/ny, P) — moves REAL data.
         g = f
         if ny > 1:
             g = lax.all_to_all(g, self.ay, split_axis=1, concat_axis=2, tiled=True)
-        # (2) FFT along y (full complex so later chunking divides evenly).
-        gh = jnp.fft.fft(g, axis=2)
-        # (3) xy-transpose: (K, m/ny, P) -> (K, M, P/n)
+        # (2) real FFT along y: (K, m/ny, Pk), Pk = P//2+1. Zero-pad the
+        # frequency axis to a multiple of n so the transpose chunks evenly —
+        # the rfft halves the bytes moved by the big xy all_to_all vs a full
+        # complex FFT.
+        gh = jnp.fft.rfft(g, axis=2)
+        Pk = self.P // 2 + 1
+        Pk_pad = -(-Pk // n) * n if n > 1 else Pk
+        if Pk_pad != Pk:
+            gh = jnp.pad(gh, ((0, 0), (0, 0), (0, Pk_pad - Pk)))
+        # (3) xy-transpose: (K, m/ny, Pk_pad) -> (K, M, Pk_pad/n)
         if n > 1:
             gh = lax.all_to_all(gh, (self.ax, self.ay), split_axis=2,
                                 concat_axis=1, tiled=True)
         # (4) FFT along x, apply inverse symbol, IFFT along x.
-        w = self.P // n
+        w = Pk_pad // n
         q = lax.axis_index((self.ax, self.ay)) if n > 1 else 0
         uh = jnp.fft.fft(gh, axis=1)
         uh = uh * self._inv_symbol(q * w, w, f.dtype)
         u = jnp.fft.ifft(uh, axis=1)
-        # (5) inverse transposes + IFFT along y.
+        # (5) inverse transposes, drop the frequency padding, inverse rfft.
         if n > 1:
             u = lax.all_to_all(u, (self.ax, self.ay), split_axis=1,
                                concat_axis=2, tiled=True)
-        u = jnp.fft.ifft(u, axis=2)
+        u = jnp.fft.irfft(u[:, :, :Pk], n=self.P, axis=2)
         if ny > 1:
             u = lax.all_to_all(u, self.ay, split_axis=2, concat_axis=1, tiled=True)
-        return u.real.astype(f.dtype)
+        return u.astype(f.dtype)

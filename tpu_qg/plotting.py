@@ -20,8 +20,6 @@ import argparse
 import pathlib
 from typing import Optional
 
-import numpy as np
-
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402

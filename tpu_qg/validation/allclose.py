@@ -34,7 +34,7 @@ def main(argv=None):
 
     from ..config import ModelConfig
     from ..constants import KM, MINUTES
-    from ..models.core import QGModel, init_state
+    from ..models.core import QGModel
     from .twin import ReferenceTwin
 
     P = args.P or args.M
