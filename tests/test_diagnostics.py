@@ -63,3 +63,19 @@ def test_timer_and_roofline():
     r = roofline_report(cfg, step_seconds=1e-3)
     assert 0 < r["fraction_of_light_speed"] < 1
     assert r["estimated_min_bytes"] > 0
+
+
+def test_energy_spectrum_parseval():
+    """sum_k E(k) equals the discrete KE quadratic form -0.5<psi lap psi>."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.stencils import laplace_5p
+    from tpu_qg.utils.diagnostics import energy_spectrum
+
+    cfg = _cfg().replace(M=64, P=48, Ly=3000.0 * 1000.0)
+    rng = np.random.default_rng(0)
+    psi = rng.standard_normal((2, 64, 48))
+    k, E = energy_spectrum(cfg, psi)
+    ke = -0.5 * np.asarray(
+        laplace_5p(jnp.asarray(psi), cfg.dx) * psi).mean(axis=(1, 2))
+    np.testing.assert_allclose(E.sum(axis=1), ke, rtol=1e-12)
+    assert (k > 0).all() and E.shape[0] == 2

@@ -103,6 +103,33 @@ def create_animation(run_dir: str, out_file: Optional[str] = None,
     return out_file
 
 
+def plot_spectrum(run_dir: str, step: Optional[int] = None,
+                  out_file: Optional[str] = None) -> str:
+    """Isotropic kinetic-energy spectrum per layer at one snapshot."""
+    from .utils.diagnostics import energy_spectrum
+
+    reader = RunReader(run_dir)
+    steps = reader.snapshot_steps()
+    step = steps[-1] if step is None else step
+    _, psi = reader.load_snapshot(step)
+    cfg = reader.config()
+    k, E = energy_spectrum(cfg, psi)
+
+    fig, ax = plt.subplots()
+    for layer in range(E.shape[0]):
+        mask = E[layer] > 0
+        ax.loglog(k[mask], E[layer][mask], label=f"layer {layer + 1}")
+    ax.set_xlabel("|k| [1/m]")
+    ax.set_ylabel("E(k)")
+    ax.set_title(f"KE spectrum, step {step}")
+    ax.legend()
+    ax.grid(True, which="both", alpha=0.3)
+    out_file = out_file or str(pathlib.Path(run_dir) / f"spectrum_{step}.png")
+    fig.savefig(out_file, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_file
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Plot tpu_qg run output")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -117,11 +144,17 @@ def main(argv=None):
     a.add_argument("--fps", type=int, default=30)
     a.add_argument("--out", default=None)
     a.add_argument("--max-frames", type=int, default=None)
+    s = sub.add_parser("spectrum")
+    s.add_argument("run_dir")
+    s.add_argument("--step", type=int, default=None)
+    s.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
     if args.cmd == "heatmap":
         out = plot_heatmap(args.run_dir, step=args.step, out_file=args.out,
                            field=args.field, layer=args.layer)
+    elif args.cmd == "spectrum":
+        out = plot_spectrum(args.run_dir, step=args.step, out_file=args.out)
     else:
         out = create_animation(args.run_dir, out_file=args.out, fps=args.fps,
                                max_frames=args.max_frames)

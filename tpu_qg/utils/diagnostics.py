@@ -48,6 +48,40 @@ def _max_abs(x):
     return jnp.max(jnp.abs(x))
 
 
+def energy_spectrum(cfg: ModelConfig, psi: Array):
+    """Isotropic kinetic-energy spectrum per layer.
+
+    E(k) summed over circular wavenumber-magnitude bins, using the discrete
+    Laplacian symbol so that sum(E) equals the discrete KE. Returns
+    (k_bins [1/m], E [L, n_bins]). Host-side analysis helper (np)."""
+    import numpy as np
+
+    psi = np.asarray(psi)
+    L_ax, M, P = psi.shape
+    psi_hat = np.fft.rfft2(psi, axes=(-2, -1)) / (M * P)
+    # discrete |grad|^2 symbol = -lambda
+    from ..ops.spectral import periodic_laplacian_eigenvalues
+    lam = -periodic_laplacian_eigenvalues(M, P, cfg.dx)  # >= 0
+    # rfft double-counts interior columns once unfolded; weight them x2.
+    w = np.full(lam.shape, 2.0)
+    w[:, 0] = 1.0
+    if P % 2 == 0:
+        w[:, -1] = 1.0
+    E2d = 0.5 * lam[None] * np.abs(psi_hat) ** 2 * w[None]
+
+    kx = np.fft.fftfreq(M, d=cfg.dx) * 2.0 * np.pi
+    ky = np.fft.rfftfreq(P, d=cfg.dx) * 2.0 * np.pi
+    kmag = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+    dk = 2.0 * np.pi / max(cfg.Lx, cfg.Ly)
+    n_bins = int(kmag.max() / dk) + 1
+    idx = np.minimum((kmag / dk).astype(int), n_bins - 1)
+    E = np.zeros((L_ax, n_bins))
+    for layer in range(L_ax):
+        np.add.at(E[layer], idx.ravel(), E2d[layer].ravel())
+    k_bins = (np.arange(n_bins) + 0.5) * dk
+    return k_bins, E
+
+
 def diagnostics(cfg: ModelConfig, state) -> Dict[str, float]:
     """Scalar diagnostic dict for logging (host-side)."""
     ke = energy(cfg, state.psi)
