@@ -56,6 +56,30 @@ def periodic_laplacian_eigenvalues(M: int, P: int, dx: float) -> np.ndarray:
     return lam_x[:, None] + lam_y[None, :]
 
 
+def _eig_factors(M: int, P: int, dx: float):
+    """1-D eigenvalue factors lam_x (M,), lam_y (P//2+1,) of the discrete
+    Laplacian on the rfft grid — kept 1-D so the compiled program embeds only
+    O(M + P) constants; the 2-D symbol is formed symbolically at trace time
+    (a full (M, P/2+1) constant at 8192^2 is ~270 MB of HLO)."""
+    k = np.arange(M)
+    l = np.arange(P // 2 + 1)
+    lam_x = (2.0 * np.cos(2.0 * np.pi * k / M) - 2.0) / (dx * dx)
+    lam_y = (2.0 * np.cos(2.0 * np.pi * l / P) - 2.0) / (dx * dx)
+    return lam_x, lam_y
+
+
+def _inv_symbol_2d(lam_x, lam_y, alpha: float, dtype) -> Array:
+    """Symbolic (M, P//2+1) inverse symbol 1/(lam + alpha); for the singular
+    alpha == 0 case the (0, 0) entry is set to 0 (zero-mean gauge)."""
+    lam = (jnp.asarray(lam_x, dtype)[:, None]
+           + jnp.asarray(lam_y, dtype)[None, :] + jnp.asarray(alpha, dtype))
+    if alpha == 0.0:
+        lam = lam.at[0, 0].set(1.0)
+        inv = 1.0 / lam
+        return inv.at[0, 0].set(0.0)
+    return 1.0 / lam
+
+
 class HelmholtzSolver:
     """Cached inverse-symbol solver for (laplacian + alpha) u = f.
 
@@ -68,22 +92,14 @@ class HelmholtzSolver:
                  gauge: str = "zero_mean"):
         self.M, self.P, self.dx, self.alpha = M, P, dx, alpha
         self.gauge = gauge
-        lam = periodic_laplacian_eigenvalues(M, P, dx) + alpha
-        if alpha == 0.0:
-            # Zero out the singular (0, 0) mode -> zero-mean gauge.
-            lam[0, 0] = 1.0
-            inv = 1.0 / lam
-            inv[0, 0] = 0.0
-        else:
-            inv = 1.0 / lam
-        # The symbol is real; keep it in float64 host-side and cast at trace
-        # time (it constant-folds under jit).
-        self.inv_symbol = inv
+        self.lam_x, self.lam_y = _eig_factors(M, P, dx)
 
     def __call__(self, f: Array) -> Array:
         """Solve (lap + alpha) u = f for u on an interior-only (..., M, P) array."""
         f_hat = jnp.fft.rfft2(f, axes=(-2, -1))
-        u_hat = f_hat * jnp.asarray(self.inv_symbol, dtype=f_hat.real.dtype)
+        inv = _inv_symbol_2d(self.lam_x, self.lam_y, self.alpha,
+                             f_hat.real.dtype)
+        u_hat = f_hat * inv
         u = jnp.fft.irfft2(u_hat, s=(self.M, self.P), axes=(-2, -1))
         u = u.astype(f.dtype)
         if self.alpha == 0.0 and self.gauge == "pin":
@@ -102,17 +118,14 @@ class BatchedModalSolver:
         self.M, self.P = M, P
         self.gauge = gauge
         self.alphas = tuple(alphas)
-        lam = periodic_laplacian_eigenvalues(M, P, dx)[None, :, :]
-        denom = lam + np.asarray(self.alphas)[:, None, None]
-        singular = np.abs(denom) < 1e-30
-        denom = np.where(singular, 1.0, denom)
-        inv = 1.0 / denom
-        inv[singular] = 0.0
-        self.inv_symbol = inv  # (K, M, P//2+1)
+        self.lam_x, self.lam_y = _eig_factors(M, P, dx)
 
     def __call__(self, f: Array) -> Array:
         f_hat = jnp.fft.rfft2(f, axes=(-2, -1))
-        u_hat = f_hat * jnp.asarray(self.inv_symbol, dtype=f_hat.real.dtype)
+        inv = jnp.stack([
+            _inv_symbol_2d(self.lam_x, self.lam_y, a, f_hat.real.dtype)
+            for a in self.alphas])
+        u_hat = f_hat * inv
         u = jnp.fft.irfft2(u_hat, s=(self.M, self.P), axes=(-2, -1))
         u = u.astype(f.dtype)
         if self.gauge == "pin":
