@@ -267,15 +267,23 @@ def init_state(cfg: ModelConfig, key: Optional[Array] = None,
         amp = cfg.initial_kick * (cfg.U if cfg.U != 0.0 else 1.0) * cfg.Ly
         psi = amp * jax.random.uniform(key, shape, dtype=dtype)
 
-    if L == 1:
+    return _init_finish(cfg, psi)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _init_finish(cfg: ModelConfig, psi: Array) -> State:
+    """zeta-from-psi plus history zeros in ONE compiled program (eager
+    op-by-op execution costs one remote compile per op on tunneled TPU
+    backends)."""
+    dtype = psi.dtype
+    if cfg.n_layers == 1:
         zeta = laplace_5p(psi, cfg.dx)
     else:
         lap = laplace_5p(psi, cfg.dx)
         z1 = lap[0] + cfg.S1_plus * (psi[1] - psi[0])
         z2 = lap[1] + cfg.S2_minus * (psi[0] - psi[1])
         zeta = jnp.stack([z1, z2])
-
-    zero = jnp.zeros(shape, dtype)
+    zero = jnp.zeros(psi.shape, dtype)
     return State(zeta, psi, zero, zero, jnp.asarray(0, jnp.int32))
 
 

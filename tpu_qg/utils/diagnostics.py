@@ -9,6 +9,7 @@ reductions.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -82,14 +83,21 @@ def energy_spectrum(cfg: ModelConfig, psi: Array):
     return k_bins, E
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _diag_arrays(cfg: ModelConfig, zeta: Array, psi: Array):
+    """All diagnostic reductions in ONE compiled program (eager op-by-op
+    execution costs one remote compile per op on tunneled TPU backends)."""
+    return (energy(cfg, psi), enstrophy(zeta), cfl_number(cfg, psi),
+            jnp.max(jnp.abs(zeta)))
+
+
 def diagnostics(cfg: ModelConfig, state) -> Dict[str, float]:
     """Scalar diagnostic dict for logging (host-side)."""
-    ke = energy(cfg, state.psi)
-    ens = enstrophy(state.zeta)
+    ke, ens, cfl, mz = _diag_arrays(cfg, state.zeta, state.psi)
     out = {
         "step": int(state.step),
-        "cfl": float(cfl_number(cfg, state.psi)),
-        "max_abs_zeta": float(_max_abs(state.zeta)),
+        "cfl": float(cfl),
+        "max_abs_zeta": float(mz),
     }
     for i in range(ke.shape[0]):
         out[f"ke_{i + 1}"] = float(ke[i])
