@@ -103,3 +103,51 @@ def test_supported_predicate():
     assert pallas_supported(_cfg(), jnp.float32)
     assert not pallas_supported(_cfg(P=100), jnp.float32)  # not 128-aligned
     assert not pallas_supported(_cfg(), jnp.float64)       # 4-byte only
+
+
+def test_fused_step_pre_fft_matches_xla():
+    """v3 kernel (shared-rotation stencils, no modes output) vs the XLA path."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_pre_fft
+
+    cfg = _cfg(M=256, P=128)
+    zeta, psi = _rand((2, 256, 128), 20), _rand((2, 256, 128), 21)
+    f1, f2 = _rand((2, 256, 128), 22), _rand((2, 256, 128), 23)
+
+    for step in (0, 1, 2, 9):
+        tend_ref = _tendencies(cfg, zeta, psi)
+        upd = jnp.where(jnp.asarray(step) < 2, cfg.dt * tend_ref,
+                        cfg.dt * ((23 / 12) * tend_ref - (16 / 12) * f1
+                                  + (5 / 12) * f2))
+        zn_ref = np.asarray(zeta + upd)
+        zn, tend = fused_step_pre_fft(
+            cfg, zeta, psi, f1, f2, jnp.asarray(step), True)
+        np.testing.assert_allclose(
+            np.asarray(tend), np.asarray(tend_ref), rtol=0,
+            atol=1e-6 * np.abs(np.asarray(tend_ref)).max(),
+            err_msg=f"tend step={step}")
+        np.testing.assert_allclose(
+            np.asarray(zn), zn_ref, rtol=0,
+            atol=1e-6 * np.abs(zn_ref).max(), err_msg=f"zeta_new step={step}")
+
+
+def test_fused_step_pre_fft_single_tile_and_single_layer():
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_pre_fft
+
+    # Single tile (grid n == 1) exercises the both-ends wrap fetch.
+    cfg = _cfg(M=64, P=128)
+    zeta, psi = _rand((2, 64, 128), 24), _rand((2, 64, 128), 25)
+    f1, f2 = _rand((2, 64, 128), 26), _rand((2, 64, 128), 27)
+    tend_ref = np.asarray(_tendencies(cfg, zeta, psi))
+    zn, tend = fused_step_pre_fft(cfg, zeta, psi, f1, f2, jnp.asarray(5), True)
+    np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
+                               atol=1e-6 * np.abs(tend_ref).max())
+
+    cfg1 = _cfg(n_layers=1)
+    zeta, psi = _rand((1, 64, 128), 28), _rand((1, 64, 128), 29)
+    f1, f2 = _rand((1, 64, 128), 30), _rand((1, 64, 128), 31)
+    tend_ref = np.asarray(_tendencies(cfg1, zeta, psi))
+    zn, tend = fused_step_pre_fft(cfg1, zeta, psi, f1, f2, jnp.asarray(5), True)
+    np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
+                               atol=1e-6 * np.abs(tend_ref).max())

@@ -144,3 +144,71 @@ def test_function_rhs_solver():
     true = np.array([[u(xi, yj) for yj in x] for xi in x])
     err = dx * np.linalg.norm(num - true)
     assert err < 0.05  # second-order accurate at M=32
+
+
+class TestPackedModalInverter:
+    """The packed single-complex-fft2 inversion must match the explicit
+    project -> solve -> back-project chain to roundoff."""
+
+    def _reference_chain(self, cfg, zeta):
+        from tpu_qg.ops.spectral import BatchedModalSolver
+        (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
+        zt = jnp.stack([pi11 * zeta[0] + pi12 * zeta[1],
+                        pi21 * zeta[0] + pi22 * zeta[1]])
+        solver = BatchedModalSolver(cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig))
+        pt = solver(zt)
+        (p11, p12), (p21, p22) = cfg.back_projection_matrix()
+        return jnp.stack([p11 * pt[0] + p12 * pt[1],
+                          p21 * pt[0] + p22 * pt[1]])
+
+    def _check(self, compat, dtype, M=64, P=96):
+        from tpu_qg.config import ModelConfig
+        from tpu_qg.constants import KM
+        from tpu_qg.models.core import _build_packed_inverter
+
+        cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=6000.0 * KM,
+                          dt=60.0, T=3600.0, dtype=dtype,
+                          compat_reference_P=compat)
+        rng = np.random.default_rng(7)
+        zeta = jnp.asarray(rng.standard_normal((2, M, P)), cfg.dtype)
+        want = np.asarray(self._reference_chain(cfg, zeta))
+        got = np.asarray(_build_packed_inverter(cfg)(zeta))
+        tol = 1e-12 if dtype == "float64" else 1e-5
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=tol * np.abs(want).max())
+
+    def test_matches_chain_f64_compat(self):
+        self._check(True, "float64")
+
+    def test_matches_chain_f64_fixed_P(self):
+        self._check(False, "float64")
+
+    def test_matches_chain_f32(self):
+        self._check(True, "float32")
+
+    def test_residual_of_solution(self):
+        """psi from the packed inverter satisfies the coupled discrete system:
+        lap(psi_i) + S-coupling == zeta (up to the barotropic-mean gauge)."""
+        from tpu_qg.config import ModelConfig
+        from tpu_qg.constants import KM
+        from tpu_qg.models.core import _build_packed_inverter
+        from tpu_qg.ops.stencils import laplace_5p
+
+        cfg = ModelConfig(M=48, P=64, Lx=4000.0 * KM, Ly=5333.0 * KM,
+                          dt=60.0, T=3600.0, dtype="float64",
+                          compat_reference_P=False)
+        rng = np.random.default_rng(3)
+        zeta = jnp.asarray(rng.standard_normal((2, 48, 64)), jnp.float64)
+        psi = _build_packed_inverter(cfg)(zeta)
+        lap = laplace_5p(psi, cfg.dx)
+        z1 = lap[0] + cfg.S1_plus * (psi[1] - psi[0])
+        z2 = lap[1] + cfg.S2_minus * (psi[0] - psi[1])
+        got = np.stack([np.asarray(z1), np.asarray(z2)])
+        # The zero-mean gauge kills the barotropic mean of zeta: compare
+        # after removing each input field's projection onto that kernel mode.
+        want = np.asarray(zeta)
+        a, b = cfg.S1_plus, cfg.S2_minus
+        bt_mean = (b * want[0].mean() + a * want[1].mean()) / (a + b)
+        want = want - bt_mean
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=1e-9 * np.abs(want).max())

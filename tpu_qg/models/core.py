@@ -112,6 +112,12 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
     quirk P_matrix(H_1, H_1) (src/model.jl:173) is honored via
     cfg.back_projection_matrix().
     """
+    from ..ops.spectral import PackedModalInverter
+    if isinstance(solvers, PackedModalInverter):
+        # Projection, solves, and back-projection all live in the spectral
+        # symbols: one complex fft2/ifft2 pair, nothing else.
+        return solvers(zeta)
+
     if cfg.n_layers == 1:
         if isinstance(solvers, tuple):
             return solvers[0](zeta)
@@ -132,8 +138,20 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
     return jnp.stack([p11 * pt0 + p12 * pt1_, p21 * pt0 + p22 * pt1_])
 
 
+def _build_packed_inverter(cfg: ModelConfig):
+    """PackedModalInverter for the single-complex-fft2 inversion (two-layer,
+    zero-mean gauge only — the pin gauge needs the per-mode physical field)."""
+    from ..ops.spectral import PackedModalInverter
+    return PackedModalInverter(cfg.M, cfg.P, cfg.dx, cfg.S_eig,
+                               cfg.P_inv_matrix(),
+                               cfg.back_projection_matrix())
+
+
 def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):
     from ..ops.spectral import BatchedModalSolver
+    if (batched_fft and cfg.n_layers == 2
+            and cfg.poisson_gauge == "zero_mean"):
+        return _build_packed_inverter(cfg)
     if batched_fft:
         alphas = (0.0,) if cfg.n_layers == 1 else (0.0, cfg.S_eig)
         return BatchedModalSolver(cfg.M, cfg.P, cfg.dx, alphas,
@@ -193,8 +211,26 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
         return step
 
     if _use_pallas(cfg) and batched_fft:
-        # Fused Pallas path: tendency + Euler/AB3 update + modal projection in
-        # one kernel, then the batched spectral solve + back-projection.
+        from ..ops.spectral import PackedModalInverter
+
+        if isinstance(solvers, PackedModalInverter):
+            # v3 kernel (tendency + Euler/AB3, shared-rotation stencils) + the
+            # packed single-fft2 inversion. The kernel has no modal output —
+            # projection and back-projection ride in the spectral symbols.
+            from ..ops.pallas_tendency import fused_step_pre_fft
+
+            def step(state: State) -> State:
+                zeta_new, tend = fused_step_pre_fft(
+                    cfg, state.zeta, state.psi, state.f1, state.f2,
+                    state.step)
+                psi_new = solvers(zeta_new)
+                return State(zeta_new, psi_new, tend, state.f1,
+                             state.step + 1)
+
+            return step
+
+        # v2 fused path (single layer, or pin gauge): tendency + update +
+        # modal projection in one kernel, then batched solve + back-projection.
         from ..ops.pallas_tendency import fused_pre_inversion
 
         def step(state: State) -> State:

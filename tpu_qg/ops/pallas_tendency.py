@@ -343,6 +343,220 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
         modes_ref[1] = pi21 * z_new[0] + pi22 * z_new[1]
 
 
+def _layer_tendency_shared(cfg: ModelConfig, T: int, layer: int,
+                           z_w: Array, psi_w: Array) -> Array:
+    """One layer's RHS over the body rows of (T+2H, P) VMEM tile values.
+
+    Same arithmetic as arakawa_J_generic / laplace chains, but every stencil
+    neighbour is a row slice of one of six column-rotated slabs (zeta +-1,
+    psi +-1, lap(psi) +-1) instead of a per-term rotation: 6 lane relayouts
+    per layer instead of ~16. Mosaic lane rotations are the dominant cost of
+    the fused kernel (it is VPU/relayout-bound, not HBM-bound), so sharing
+    them is the main single-chip lever.
+    """
+    dx = cfg.dx
+    inv_dx2 = 1.0 / (dx * dx)
+
+    zc = z_w[_H - 1:_H + T + 1, :]          # (T+2, P) 1-row-halo slabs
+    pc = psi_w[_H - 1:_H + T + 1, :]
+    zp, zm = _col_shift(zc, 1), _col_shift(zc, -1)
+    pp, pm = _col_shift(pc, 1), _col_shift(pc, -1)
+
+    # lap(psi) on the 1-halo slab, then lap of that on the body rows.
+    lap1 = (psi_w[_H:_H + T + 2, :] + psi_w[_H - 2:_H + T, :] - 4.0 * pc
+            + pp + pm) * inv_dx2            # (T+2, P)
+    lp, lm = _col_shift(lap1, 1), _col_shift(lap1, -1)
+    visc_term = cfg.visc * ((lap1[2:T + 2, :] + lap1[0:T, :]
+                             - 4.0 * lap1[1:T + 1, :]
+                             + lp[1:T + 1, :] + lm[1:T + 1, :]) * inv_dx2)
+    lap_psi = lap1[1:T + 1, :]
+
+    def S(a: Array, di: int) -> Array:      # body-row slice at row offset di
+        return a[1 + di:1 + di + T, :]
+
+    z_xp, z_xm, z_yp, z_ym = S(zc, 1), S(zc, -1), S(zp, 0), S(zm, 0)
+    p_xp, p_xm, p_yp, p_ym = S(pc, 1), S(pc, -1), S(pp, 0), S(pm, 0)
+    z_xpyp, z_xpym, z_xmyp, z_xmym = S(zp, 1), S(zm, 1), S(zp, -1), S(zm, -1)
+    p_xpyp, p_xpym, p_xmyp, p_xmym = S(pp, 1), S(pm, 1), S(pp, -1), S(pm, -1)
+
+    # Arakawa three-term average (reference: src/schemes/arakawa.jl:7-62).
+    j_pp = (z_xp - z_xm) * (p_yp - p_ym) - (z_yp - z_ym) * (p_xp - p_xm)
+    j_pt = (z_xp * (p_xpyp - p_xpym) - z_xm * (p_xmyp - p_xmym)
+            - z_yp * (p_xpyp - p_xmyp) + z_ym * (p_xpym - p_xmym))
+    j_tp = (z_xpyp * (p_yp - p_xp) - z_xmym * (p_xm - p_ym)
+            - z_xmyp * (p_yp - p_xm) + z_xpym * (p_xp - p_ym))
+    jac = (j_pp + j_pt + j_tp) / (12.0 * dx * dx)
+
+    dpsi_dx = (0.5 / dx) * (S(pc, 1) - S(pc, -1))
+    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
+    tend = visc_term - jac - betas[layer] * dpsi_dx
+
+    if cfg.n_layers == 1:
+        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
+        tend = tend - cfg.U * dzeta_dx - cfg.r * lap_psi
+    elif layer == 0:
+        # Layer 1: mean-flow advection (reference: src/model.jl:143).
+        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
+        tend = tend - cfg.U * dzeta_dx
+    else:
+        # Layer 2: bottom drag (reference: src/model.jl:151).
+        tend = tend - cfg.r * lap_psi
+    return tend
+
+
+def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
+                         zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+                         zeta_new_ref, tend_ref,
+                         zeta_vmem, psi_vmem, f1_vmem, f2_vmem, sems):
+    """v3: tendency + Euler/AB3 update, shared-rotation stencils, NO modal
+    projection output — the PackedModalInverter folds P^{-1}, both elliptic
+    solves, and the back-projection into the fft2/ifft2 pair downstream."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = tend_ref.shape[0]
+    dt = cfg.dt
+
+    def fetch_center(hbm, vmem, sem):
+        cp = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(i * T, 8), T), :], vmem, sem)
+        cp.start()
+        return cp
+
+    def fetch_halo(hbm, vmem, sem_a, sem_b):
+        if n == 1:
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm, vmem.at[:, _H:_H + T, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
+            cp_bot.start()
+            cp_bot.wait()
+            return
+
+        first, last = i == 0, i == n - 1
+
+        @pl.when(jnp.logical_not(first | last))
+        def _():
+            start = pl.multiple_of(i * T - _H, 8)
+            cp = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
+            cp.start()
+            cp.wait()
+
+        @pl.when(first)
+        def _():
+            cp_top = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
+            cp_top.start()
+            cp_body.start()
+            cp_top.wait()
+            cp_body.wait()
+
+        @pl.when(last)
+        def _():
+            cp_body = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
+                vmem.at[:, 0:T + _H, :], sem_a)
+            cp_bot = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
+            cp_body.start()
+            cp_bot.start()
+            cp_body.wait()
+            cp_bot.wait()
+
+    cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
+    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5])
+    fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
+    fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+
+    tends = [
+        _layer_tendency_shared(cfg, T, layer, zeta_vmem[layer][:],
+                               psi_vmem[layer][:])
+        for layer in range(L)
+    ]
+    for layer in range(L):
+        tend_ref[layer] = tends[layer]
+
+    cp_f1.wait()
+    cp_f2.wait()
+    is_euler = step_ref[0] < 2
+    for layer in range(L):
+        ab3 = dt * ((23.0 / 12.0) * tends[layer]
+                    - (16.0 / 12.0) * f1_vmem[layer][:]
+                    + (5.0 / 12.0) * f2_vmem[layer][:])
+        euler = dt * tends[layer]
+        zc = zeta_vmem[layer][:][_H:_H + T, :]
+        zeta_new_ref[layer] = zc + jnp.where(is_euler, euler, ab3)
+
+
+def _pick_tile_v3(M: int, P: int, L: int, itemsize: int) -> int:
+    """Tile picker for the v3 kernel: v2's footprint minus the modes output,
+    plus the six column-rotated slabs held live per layer."""
+    budget = 13 * 1024 * 1024
+    T = M
+    while T > 8:
+        foot = P * itemsize * (
+            L * (2 * (T + 2 * _H) + 2 * T + 4 * T) + 16 * T)
+        if foot <= budget and M % T == 0:
+            return T
+        T //= 2
+    return T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def fused_step_pre_fft(cfg: ModelConfig, zeta: Array, psi: Array,
+                       f1: Array, f2: Array, step: Array,
+                       interpret: bool = False, tile: int = 0):
+    """Tendency + Euler/AB3 zeta update in one HBM pass (kernel v3).
+
+    Returns (zeta_new, tend). Unlike ``fused_pre_inversion`` (v2) there is no
+    modal-projection output: pairing with
+    tpu_qg.ops.spectral.PackedModalInverter moves the projection and
+    back-projection into the spectral symbols, saving one (K, M, P) HBM write
+    + read per step and the physical-space projection arithmetic.
+    """
+    L, M, P = zeta.shape
+    dtype = zeta.dtype
+    T = tile or _pick_tile_v3(M, P, L, dtype.itemsize)
+
+    kernel = functools.partial(_step_pre_fft_kernel, cfg, T, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((L, T, P), dtype),
+            pltpu.VMEM((L, T, P), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    zeta_new, tend = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
+    return zeta_new, tend
+
+
 def _pick_tile_v2(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the fused pre-inversion kernel: adds f1/f2 scratches and
     three double-buffered outputs to the v1 footprint model."""

@@ -135,6 +135,82 @@ class BatchedModalSolver:
         return u
 
 
+class PackedModalInverter:
+    """Full two-layer inversion (zeta -> psi) in ONE complex fft2/ifft2 pair.
+
+    The whole chain the reference performs in ``evolve_psi!`` (reference:
+    src/model.jl:172-199) — modal projection P^{-1}, Poisson + modified-
+    Helmholtz solves, back-projection P — is linear, so it is a single 2x2
+    matrix G(k) = P_back @ diag(1/(lam+alpha_m)) @ P_inv acting per wavenumber
+    on the layer spectra. Packing the two real layers as one complex field
+    w = zeta_1 + i zeta_2 and Hermitian-splitting in spectral space
+    (Z_m(k) from W(k) and conj(W(-k))) turns the entire inversion into
+
+        W  = fft2(zeta_1 + i zeta_2)
+        V  = A(k) W + B(k) conj(W(-k))
+        psi_1 + i psi_2 = ifft2(V)
+
+    with precomputed complex symbols A, B. Versus the batched-rfft2 solver
+    this removes the physical-space modal projection and back-projection
+    passes entirely (and the Pallas kernel's separate ``modes`` output), and
+    replaces two half-spectrum transforms per direction with one full complex
+    transform (identical flop count, fewer dispatches).
+
+    Derivation: with Z1 = (W + W̄⁻)/2, Z2 = -i(W - W̄⁻)/2 (W̄⁻(k) := conj(W(-k)))
+    and V = psi1_hat + i psi2_hat = c1(k) Z1 + c2(k) Z2 where
+    c1 = u q11 inv1 + v q21 inv2, c2 = u q12 inv1 + v q22 inv2,
+    u = p11 + i p21, v = p12 + i p22 (P_back = [[p11,p12],[p21,p22]],
+    P_inv = [[q11,q12],[q21,q22]]), collecting W and W̄⁻ terms gives
+    A = u(q11 - i q12)/2 inv1 + v(q21 - i q22)/2 inv2 and
+    B = u(q11 + i q12)/2 inv1 + v(q21 + i q22)/2 inv2.
+
+    Gauge: zero-mean only (inv1[0,0] = 0 removes the barotropic mean — the
+    spectral-natural gauge; see module docstring).
+    """
+
+    def __init__(self, M: int, P: int, dx: float, alpha2: float,
+                 P_inv, P_back):
+        self.M, self.P = M, P
+        self.alpha2 = alpha2
+        # Full-grid (not rfft) 1-D eigenvalue factors; 2-D symbols are formed
+        # symbolically at trace time (O(M + P) constants in the HLO).
+        k = np.arange(M)
+        l = np.arange(P)
+        self.lam_x = (2.0 * np.cos(2.0 * np.pi * k / M) - 2.0) / (dx * dx)
+        self.lam_y = (2.0 * np.cos(2.0 * np.pi * l / P) - 2.0) / (dx * dx)
+        (q11, q12), (q21, q22) = P_inv
+        (p11, p12), (p21, p22) = P_back
+        u = p11 + 1j * p21
+        v = p12 + 1j * p22
+        self.a1 = complex(u * (q11 - 1j * q12) / 2.0)
+        self.a2 = complex(v * (q21 - 1j * q22) / 2.0)
+        self.b1 = complex(u * (q11 + 1j * q12) / 2.0)
+        self.b2 = complex(v * (q21 + 1j * q22) / 2.0)
+
+    def _symbols(self, real_dtype):
+        cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+        lam = (jnp.asarray(self.lam_x, real_dtype)[:, None]
+               + jnp.asarray(self.lam_y, real_dtype)[None, :])
+        inv1 = jnp.where(lam == 0.0, 0.0, 1.0 / jnp.where(lam == 0.0, 1.0, lam))
+        inv2 = 1.0 / (lam + jnp.asarray(self.alpha2, real_dtype))
+        A = (jnp.asarray(self.a1, cdtype) * inv1
+             + jnp.asarray(self.a2, cdtype) * inv2)
+        B = (jnp.asarray(self.b1, cdtype) * inv1
+             + jnp.asarray(self.b2, cdtype) * inv2)
+        return A, B
+
+    def __call__(self, zeta: Array) -> Array:
+        """(2, M, P) real zeta -> (2, M, P) real psi."""
+        w = jax.lax.complex(zeta[0], zeta[1])
+        W = jnp.fft.fft2(w, axes=(-2, -1))
+        A, B = self._symbols(zeta.dtype)
+        # conj(W(-k)): reverse both axes then roll by one (index 0 fixed).
+        W_rev = jnp.roll(jnp.flip(jnp.conj(W), axis=(-2, -1)), (1, 1),
+                         axis=(-2, -1))
+        v = jnp.fft.ifft2(A * W + B * W_rev, axes=(-2, -1))
+        return jnp.stack([v.real, v.imag]).astype(zeta.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "P", "dx", "alpha", "gauge"))
 def _solve(f, M, P, dx, alpha, gauge):
     return HelmholtzSolver(M, P, dx, alpha, gauge=gauge)(f)
