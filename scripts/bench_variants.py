@@ -117,7 +117,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=["step-xla", "step-xla-batched",
                                         "step-pallas", "step-pallas-v2",
-                                        "invert"])
+                                        "step-pallas-v4", "invert"])
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=50)
@@ -134,6 +134,16 @@ def main():
                    force_batched=True)
     elif args.variant == "step-pallas":
         bench_step(_cfg(args.M, args.P, True), args.steps, args.reps)
+    elif args.variant == "step-pallas-v4":
+        # Swap the v3 kernel for the streamed (double-buffered input) v4 at
+        # core's import site; everything else identical to step-pallas.
+        from tpu_qg.ops import pallas_tendency as pt
+        orig_fn = pt.fused_step_pre_fft
+        pt.fused_step_pre_fft = pt.fused_step_streamed
+        try:
+            bench_step(_cfg(args.M, args.P, True), args.steps, args.reps)
+        finally:
+            pt.fused_step_pre_fft = orig_fn
     elif args.variant == "step-pallas-v2":
         # Force the v2 path by using the pin gauge? No — pin changes work.
         # Instead monkeypatch the packed-inverter gate off.

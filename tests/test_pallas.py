@@ -131,6 +131,59 @@ def test_fused_step_pre_fft_matches_xla():
             atol=1e-6 * np.abs(zn_ref).max(), err_msg=f"zeta_new step={step}")
 
 
+def test_fused_step_streamed_matches_xla():
+    """v4 kernel (double-buffered input pipeline) vs the XLA path, over
+    several tile counts including the smallest pipelined grid (n=2)."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_streamed
+
+    cfg = _cfg(M=256, P=128)
+    zeta, psi = _rand((2, 256, 128), 40), _rand((2, 256, 128), 41)
+    f1, f2 = _rand((2, 256, 128), 42), _rand((2, 256, 128), 43)
+
+    for tile in (128, 64, 32):        # 2, 4, 8 grid steps
+        for step in (0, 2, 9):
+            tend_ref = _tendencies(cfg, zeta, psi)
+            upd = jnp.where(jnp.asarray(step) < 2, cfg.dt * tend_ref,
+                            cfg.dt * ((23 / 12) * tend_ref - (16 / 12) * f1
+                                      + (5 / 12) * f2))
+            zn_ref = np.asarray(zeta + upd)
+            zn, tend = fused_step_streamed(
+                cfg, zeta, psi, f1, f2, jnp.asarray(step), True, tile)
+            np.testing.assert_allclose(
+                np.asarray(tend), np.asarray(tend_ref), rtol=0,
+                atol=1e-6 * np.abs(np.asarray(tend_ref)).max(),
+                err_msg=f"tend tile={tile} step={step}")
+            np.testing.assert_allclose(
+                np.asarray(zn), zn_ref, rtol=0,
+                atol=1e-6 * np.abs(zn_ref).max(),
+                err_msg=f"zeta_new tile={tile} step={step}")
+
+
+def test_fused_step_streamed_single_tile_fallback_and_single_layer():
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_streamed
+
+    # tile == M -> falls back to the v3 kernel (grid < 2).
+    cfg = _cfg(M=64, P=128)
+    zeta, psi = _rand((2, 64, 128), 44), _rand((2, 64, 128), 45)
+    f1, f2 = _rand((2, 64, 128), 46), _rand((2, 64, 128), 47)
+    tend_ref = np.asarray(_tendencies(cfg, zeta, psi))
+    zn, tend = fused_step_streamed(cfg, zeta, psi, f1, f2,
+                                   jnp.asarray(5), True, 64)
+    np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
+                               atol=1e-6 * np.abs(tend_ref).max())
+
+    cfg1 = _cfg(n_layers=1, M=128)
+    zeta, psi = _rand((1, 128, 128), 48), _rand((1, 128, 128), 49)
+    f1, f2 = _rand((1, 128, 128), 50), _rand((1, 128, 128), 51)
+    tend_ref = np.asarray(_tendencies(cfg1, zeta, psi))
+    zn, tend = fused_step_streamed(cfg1, zeta, psi, f1, f2,
+                                   jnp.asarray(5), True, 32)
+    np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
+                               atol=1e-6 * np.abs(tend_ref).max())
+
+
 def test_fused_step_pre_fft_single_tile_and_single_layer():
     import jax.numpy as jnp
     from tpu_qg.ops.pallas_tendency import fused_step_pre_fft

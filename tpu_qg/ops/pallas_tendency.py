@@ -496,6 +496,178 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
         zeta_new_ref[layer] = zc + jnp.where(is_euler, euler, ab3)
 
 
+def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
+    """Build the (condition, [copies]) list for fetching tile j's rows
+    [j*T - H, j*T + T + H) with periodic wrap into ``vmem``. The same list is
+    built twice per tile — once to .start() the DMAs, once to .wait() them —
+    which is what allows the fetch of tile j+1 to overlap tile j's compute."""
+    first, last = j == 0, j == n - 1
+    middle_start = pl.multiple_of(j * T - _H, 8)
+    return [
+        (jnp.logical_not(first | last), [
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(middle_start, T + 2 * _H), :], vmem, sem_a),
+        ]),
+        (first, [
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a),
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b),
+        ]),
+        (last, [
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
+                vmem.at[:, 0:T + _H, :], sem_a),
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b),
+        ]),
+    ]
+
+
+def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
+                     zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+                     zeta_new_ref, tend_ref,
+                     zeta_buf, psi_buf, f1_buf, f2_buf, sems):
+    """v4: v3's shared-rotation stencils + a double-buffered input pipeline.
+
+    Two VMEM slots per input; at grid step i the fetch of tile i+1 (into slot
+    (i+1) % 2) is started before waiting on tile i's fetch (started at step
+    i-1), so HBM reads overlap the stencil compute of the previous tile.
+    Requires grid >= 2 (the single-tile case uses the v3 kernel).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = tend_ref.shape[0]
+    dt = cfg.dt
+
+    def halo_ops(j, slot, fld):
+        hbm, buf = (zeta_hbm, zeta_buf) if fld == 0 else (psi_hbm, psi_buf)
+        return _make_halo_fetch_ops(T, M, n, j, hbm, buf.at[slot],
+                                    sems.at[slot, 2 * fld],
+                                    sems.at[slot, 2 * fld + 1])
+
+    def center_ops(j, slot, fld):
+        hbm, buf = (f1_hbm, f1_buf) if fld == 0 else (f2_hbm, f2_buf)
+        return [(None, [pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(j * T, 8), T), :],
+            buf.at[slot], sems.at[slot, 4 + fld])])]
+
+    def all_ops(j, slot):
+        return (halo_ops(j, slot, 0) + halo_ops(j, slot, 1)
+                + center_ops(j, slot, 0) + center_ops(j, slot, 1))
+
+    def _foreach(j, slot, action):
+        # Descriptors are (re)built lazily inside each taken branch — the same
+        # construction at start and wait time is what lets the two sites pair
+        # up on the same semaphores.
+        for cond, copies in all_ops(j, slot):
+            if cond is None:
+                for cp in copies:
+                    action(cp)
+            else:
+                @pl.when(cond)
+                def _(copies=copies):
+                    for cp in copies:
+                        action(cp)
+
+    def start_fetch(j, slot):
+        _foreach(j, slot, lambda cp: cp.start())
+
+    def wait_fetch(j, slot):
+        _foreach(j, slot, lambda cp: cp.wait())
+
+    two = jnp.asarray(2, i.dtype)
+    slot = jax.lax.rem(i, two)
+
+    @pl.when(i == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start_fetch(i + 1, jax.lax.rem(i + 1, two))
+
+    wait_fetch(i, slot)
+
+    def load(buf, layer):
+        return buf[pl.ds(slot, 1), layer][0]
+
+    tends = [
+        _layer_tendency_shared(cfg, T, layer, load(zeta_buf, layer),
+                               load(psi_buf, layer))
+        for layer in range(L)
+    ]
+    for layer in range(L):
+        tend_ref[layer] = tends[layer]
+
+    is_euler = step_ref[0] < 2
+    for layer in range(L):
+        ab3 = dt * ((23.0 / 12.0) * tends[layer]
+                    - (16.0 / 12.0) * load(f1_buf, layer)
+                    + (5.0 / 12.0) * load(f2_buf, layer))
+        euler = dt * tends[layer]
+        zc = load(zeta_buf, layer)[_H:_H + T, :]
+        zeta_new_ref[layer] = zc + jnp.where(is_euler, euler, ab3)
+
+
+def _pick_tile_v4(M: int, P: int, L: int, itemsize: int) -> int:
+    """Tile picker for the streamed kernel: two input slots per array."""
+    budget = 13 * 1024 * 1024
+    T = M
+    while T > 8:
+        foot = P * itemsize * (
+            L * (4 * (T + 2 * _H) + 4 * T + 4 * T) + 16 * T)
+        if foot <= budget and M % T == 0:
+            return T
+        T //= 2
+    return T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
+                        f1: Array, f2: Array, step: Array,
+                        interpret: bool = False, tile: int = 0):
+    """Tendency + Euler/AB3 update with a double-buffered HBM input pipeline
+    (kernel v4). Same outputs as ``fused_step_pre_fft``; falls back to it when
+    the grid has fewer than two tiles."""
+    L, M, P = zeta.shape
+    dtype = zeta.dtype
+    T = tile or _pick_tile_v4(M, P, L, dtype.itemsize)
+    if M // T < 2:
+        return fused_step_pre_fft(cfg, zeta, psi, f1, f2, step,
+                                  interpret, tile)
+
+    kernel = functools.partial(_streamed_kernel, cfg, T, M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    zeta_new, tend = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
+    return zeta_new, tend
+
+
 def _pick_tile_v3(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the v3 kernel: v2's footprint minus the modes output,
     plus the six column-rotated slabs held live per layer."""
