@@ -74,10 +74,13 @@ def bench_step(cfg, steps, reps, force_batched=False):
             core._build_solvers = orig
 
 
-def bench_invert(cfg, reps):
-    from tpu_qg.ops.spectral import BatchedModalSolver
+def bench_invert(cfg, reps, variants=("packed", "batched")):
+    from tpu_qg.ops.spectral import BatchedModalSolver, PackedModalInverterMXU
     packed = core._build_packed_inverter(cfg)
     batched = BatchedModalSolver(cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig))
+    mxu = PackedModalInverterMXU(cfg.M, cfg.P, cfg.dx, cfg.S_eig,
+                                 cfg.P_inv_matrix(),
+                                 cfg.back_projection_matrix())
     (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
     (p11, p12), (p21, p22) = cfg.back_projection_matrix()
 
@@ -100,8 +103,10 @@ def bench_invert(cfg, reps):
 
     z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.M, cfg.P),
                           jnp.float32)
-    for name, fn in (("packed (1x complex fft2+ifft2)", loop(packed)),
-                     ("batched (rfft2 modal + proj)", loop(full_batched))):
+    table = {"packed": ("packed (1x complex fft2+ifft2)", loop(packed)),
+             "batched": ("batched (rfft2 modal + proj)", loop(full_batched)),
+             "mxu": ("mxu (matmul-factorized DFT)", loop(mxu))}
+    for name, fn in (table[v] for v in variants):
         out = fn(z)
         _sync(out)
         best = float("inf")
@@ -117,7 +122,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=["step-xla", "step-xla-batched",
                                         "step-pallas", "step-pallas-v2",
-                                        "step-pallas-v4", "invert"])
+                                        "step-pallas-v4", "invert",
+                                        "invert-mxu"])
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=50)
@@ -127,6 +133,9 @@ def main():
     print(f"{args.variant} @ {args.M}x{args.P} on {jax.devices()[0].platform}")
     if args.variant == "invert":
         bench_invert(_cfg(args.M, args.P, False), args.reps)
+    elif args.variant == "invert-mxu":
+        bench_invert(_cfg(args.M, args.P, False), args.reps,
+                     variants=("mxu", "packed"))
     elif args.variant == "step-xla":
         bench_step(_cfg(args.M, args.P, False), args.steps, args.reps)
     elif args.variant == "step-xla-batched":

@@ -73,6 +73,10 @@ class ModelConfig:
     # (reference: src/model.jl:41-42); "vortex" = Gaussian vortex dipole
     # (BASELINE config 1's barotropic vortex).
     ic_type: str = "random"
+    # Transform backend for the packed modal inversion: "xla" = jnp.fft (the
+    # default/oracle), "matmul" = the MXU matmul-factorized DFT
+    # (ops/matmul_fft.py) with permuted spectral order.
+    fft_impl: str = "xla"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -85,6 +89,8 @@ class ModelConfig:
             raise ValueError(f"unsupported time_scheme {self.time_scheme!r}")
         if self.ic_type not in ("random", "vortex"):
             raise ValueError(f"unsupported ic_type {self.ic_type!r}")
+        if self.fft_impl not in ("xla", "matmul"):
+            raise ValueError(f"unsupported fft_impl {self.fft_impl!r}")
 
     # --- derived geometry ---
     @property

@@ -140,11 +140,13 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
 
 def _build_packed_inverter(cfg: ModelConfig):
     """PackedModalInverter for the single-complex-fft2 inversion (two-layer,
-    zero-mean gauge only — the pin gauge needs the per-mode physical field)."""
-    from ..ops.spectral import PackedModalInverter
-    return PackedModalInverter(cfg.M, cfg.P, cfg.dx, cfg.S_eig,
-                               cfg.P_inv_matrix(),
-                               cfg.back_projection_matrix())
+    zero-mean gauge only — the pin gauge needs the per-mode physical field).
+    ``fft_impl="matmul"`` swaps in the MXU matmul-factorized DFT."""
+    from ..ops.spectral import PackedModalInverter, PackedModalInverterMXU
+    cls = (PackedModalInverterMXU if cfg.fft_impl == "matmul"
+           else PackedModalInverter)
+    return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+               cfg.back_projection_matrix())
 
 
 def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):

@@ -211,6 +211,32 @@ class PackedModalInverter:
         return jnp.stack([v.real, v.imag]).astype(zeta.dtype)
 
 
+class PackedModalInverterMXU(PackedModalInverter):
+    """PackedModalInverter with the fft2/ifft2 pair replaced by the
+    matmul-factorized DFT (tpu_qg.ops.matmul_fft): the transforms become
+    batched MXU matmuls + twiddles and the spectral order stays permuted end
+    to end — the symbols A, B are simply evaluated at the permuted
+    frequencies, and conj(W(-k)) is structured flips on the (k1, k2) view.
+    Speed alternative for TPU; same math and gauge as the parent."""
+
+    def __init__(self, M: int, P: int, dx: float, alpha2: float,
+                 P_inv, P_back):
+        super().__init__(M, P, dx, alpha2, P_inv, P_back)
+        from .matmul_fft import MatmulFFT2, freq_order
+        self._fft2 = MatmulFFT2(M, P)
+        # Permute the 1-D eigenvalue factors into the transform's slot order.
+        self.lam_x = self.lam_x[freq_order(M)]
+        self.lam_y = self.lam_y[freq_order(P)]
+
+    def __call__(self, zeta: Array) -> Array:
+        w = jax.lax.complex(zeta[0], zeta[1])
+        W = self._fft2.forward(w)
+        A, B = self._symbols(zeta.dtype)
+        W_rev = jnp.conj(self._fft2.negate_spectrum(W))
+        v = self._fft2.inverse(A * W + B * W_rev)
+        return jnp.stack([v.real, v.imag]).astype(zeta.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "P", "dx", "alpha", "gauge"))
 def _solve(f, M, P, dx, alpha, gauge):
     return HelmholtzSolver(M, P, dx, alpha, gauge=gauge)(f)
