@@ -216,13 +216,15 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
         from ..ops.spectral import PackedModalInverter
 
         if isinstance(solvers, PackedModalInverter):
-            # v3 kernel (tendency + Euler/AB3, shared-rotation stencils) + the
-            # packed single-fft2 inversion. The kernel has no modal output —
-            # projection and back-projection ride in the spectral symbols.
-            from ..ops.pallas_tendency import fused_step_pre_fft
+            # v4 streamed kernel (tendency + Euler/AB3, shared-rotation
+            # stencils, double-buffered HBM input pipeline; falls back to v3
+            # on single-tile grids) + the packed single-fft2 inversion. The
+            # kernel has no modal output — projection and back-projection
+            # ride in the spectral symbols.
+            from ..ops.pallas_tendency import fused_step_streamed
 
             def step(state: State) -> State:
-                zeta_new, tend = fused_step_pre_fft(
+                zeta_new, tend = fused_step_streamed(
                     cfg, state.zeta, state.psi, state.f1, state.f2,
                     state.step)
                 psi_new = solvers(zeta_new)

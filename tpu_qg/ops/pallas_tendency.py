@@ -497,30 +497,40 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
 
 
 def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
-    """Build the (condition, [copies]) list for fetching tile j's rows
-    [j*T - H, j*T + T + H) with periodic wrap into ``vmem``. The same list is
+    """Build the (condition, copies_thunk) list for fetching tile j's rows
+    [j*T - H, j*T + T + H) with periodic wrap into ``vmem``. Thunks are built
+    lazily inside the taken branch only (an AsyncCopyDescriptor constructed in
+    an untaken pl.when branch logs a was-not-used error). The same list is
     built twice per tile — once to .start() the DMAs, once to .wait() them —
     which is what allows the fetch of tile j+1 to overlap tile j's compute."""
     first, last = j == 0, j == n - 1
-    middle_start = pl.multiple_of(j * T - _H, 8)
-    return [
-        (jnp.logical_not(first | last), [
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(middle_start, T + 2 * _H), :], vmem, sem_a),
-        ]),
-        (first, [
+
+    def middle():
+        start = pl.multiple_of(j * T - _H, 8)
+        return [pltpu.make_async_copy(
+            hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)]
+
+    def first_tile():
+        return [
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a),
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b),
-        ]),
-        (last, [
+        ]
+
+    def last_tile():
+        return [
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(M - T - _H, T + _H), :],
                 vmem.at[:, 0:T + _H, :], sem_a),
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b),
-        ]),
+        ]
+
+    return [
+        (jnp.logical_not(first | last), middle),
+        (first, first_tile),
+        (last, last_tile),
     ]
 
 
@@ -548,7 +558,7 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
 
     def center_ops(j, slot, fld):
         hbm, buf = (f1_hbm, f1_buf) if fld == 0 else (f2_hbm, f2_buf)
-        return [(None, [pltpu.make_async_copy(
+        return [(None, lambda: [pltpu.make_async_copy(
             hbm.at[:, pl.ds(pl.multiple_of(j * T, 8), T), :],
             buf.at[slot], sems.at[slot, 4 + fld])])]
 
@@ -560,14 +570,14 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
         # Descriptors are (re)built lazily inside each taken branch — the same
         # construction at start and wait time is what lets the two sites pair
         # up on the same semaphores.
-        for cond, copies in all_ops(j, slot):
+        for cond, thunk in all_ops(j, slot):
             if cond is None:
-                for cp in copies:
+                for cp in thunk():
                     action(cp)
             else:
                 @pl.when(cond)
-                def _(copies=copies):
-                    for cp in copies:
+                def _(thunk=thunk):
+                    for cp in thunk():
                         action(cp)
 
     def start_fetch(j, slot):
