@@ -118,12 +118,55 @@ def bench_invert(cfg, reps, variants=("packed", "batched")):
         print(f"  {name}: {best / n_inner * 1e3:.3f} ms/inversion")
 
 
+def bench_fft_parts(cfg, reps):
+    """Decompose the packed inversion's cost: bare fft2, fft2+ifft2, and the
+    full chain (symbols + negate-spectrum flips) on a complex 2048^2 field."""
+    packed = core._build_packed_inverter(cfg)
+    n_inner = 20
+
+    def loop(fn):
+        def body(z, _):
+            return fn(z), None
+        def run(z):
+            out, _ = jax.lax.scan(body, z, None, length=n_inner)
+            return out
+        return jax.jit(run)
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (cfg.M, cfg.P), jnp.float32)
+    w = jax.lax.complex(w, w[::-1])
+
+    def fft_only(z):
+        # keep it a fixed point shape-wise: fft then scale down
+        return jnp.fft.fft2(z) * (1.0 / (cfg.M * cfg.P))
+
+    def fft_ifft(z):
+        return jnp.fft.ifft2(jnp.fft.fft2(z))
+
+    def full_chain(z):
+        zz = jnp.stack([z.real, z.imag])
+        p = packed(zz)
+        return jax.lax.complex(p[0], p[1])
+
+    for name, fn in (("fft2 only", loop(fft_only)),
+                     ("fft2+ifft2", loop(fft_ifft)),
+                     ("full packed chain", loop(full_chain))):
+        out = fn(w)
+        _sync(out.real)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(w)
+            _sync(out.real)
+            best = min(best, time.perf_counter() - t0)
+        print(f"  {name}: {best / n_inner * 1e3:.3f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=["step-xla", "step-xla-batched",
                                         "step-pallas", "step-pallas-v2",
                                         "step-pallas-v4", "invert",
-                                        "invert-mxu"])
+                                        "invert-mxu", "fft-parts"])
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=50)
@@ -136,6 +179,8 @@ def main():
     elif args.variant == "invert-mxu":
         bench_invert(_cfg(args.M, args.P, False), args.reps,
                      variants=("mxu", "packed"))
+    elif args.variant == "fft-parts":
+        bench_fft_parts(_cfg(args.M, args.P, False), args.reps)
     elif args.variant == "step-xla":
         bench_step(_cfg(args.M, args.P, False), args.steps, args.reps)
     elif args.variant == "step-xla-batched":
