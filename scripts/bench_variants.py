@@ -75,12 +75,13 @@ def bench_step(cfg, steps, reps, force_batched=False):
 
 
 def bench_invert(cfg, reps, variants=("packed", "batched")):
-    from tpu_qg.ops.spectral import BatchedModalSolver, PackedModalInverterMXU
-    packed = core._build_packed_inverter(cfg)
+    from tpu_qg.ops.spectral import (BatchedModalSolver, PackedModalInverter,
+                                     PackedModalInverterMXU)
+    inv_args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                cfg.back_projection_matrix())
+    packed = PackedModalInverter(*inv_args)
     batched = BatchedModalSolver(cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig))
-    mxu = PackedModalInverterMXU(cfg.M, cfg.P, cfg.dx, cfg.S_eig,
-                                 cfg.P_inv_matrix(),
-                                 cfg.back_projection_matrix())
+    mxu = PackedModalInverterMXU(*inv_args)
     (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
     (p11, p12), (p21, p22) = cfg.back_projection_matrix()
 
@@ -106,6 +107,11 @@ def bench_invert(cfg, reps, variants=("packed", "batched")):
     table = {"packed": ("packed (1x complex fft2+ifft2)", loop(packed)),
              "batched": ("batched (rfft2 modal + proj)", loop(full_batched)),
              "mxu": ("mxu (matmul-factorized DFT)", loop(mxu))}
+    if "mxu" in variants:
+        ref = jax.jit(packed)(z)
+        got = jax.jit(mxu)(z)
+        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        print(f"  mxu-vs-packed max rel diff: {err:.3e}")
     for name, fn in (table[v] for v in variants):
         out = fn(z)
         _sync(out)
@@ -118,10 +124,47 @@ def bench_invert(cfg, reps, variants=("packed", "batched")):
         print(f"  {name}: {best / n_inner * 1e3:.3f} ms/inversion")
 
 
+def bench_kernel_only(cfg, reps):
+    """The v4 streamed stencil kernel alone (no inversion): a jitted scan
+    whose carry cycles (zeta, psi, f1, f2) through the kernel outputs."""
+    from tpu_qg.ops.pallas_tendency import fused_step_streamed
+    n_inner = 20
+
+    def body(c, _):
+        zeta, psi, f1, f2 = c
+        zn, tend = fused_step_streamed(cfg, zeta, psi, f1, f2,
+                                       jnp.asarray(5, jnp.int32))
+        return (zn, psi, tend, f1), None
+
+    @jax.jit
+    def run(c):
+        out, _ = jax.lax.scan(body, c, None, length=n_inner)
+        return out
+
+    k = jax.random.PRNGKey(0)
+    c = tuple(jax.random.normal(jax.random.fold_in(k, i),
+                                (2, cfg.M, cfg.P), jnp.float32)
+              for i in range(4))
+    t0 = time.perf_counter()
+    c = run(c)
+    _sync(c[0])
+    print(f"  compile+first: {time.perf_counter() - t0:.1f} s")
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c = run(c)
+        _sync(c[0])
+        best = min(best, time.perf_counter() - t0)
+    print(f"  kernel-only: {best / n_inner * 1e3:.3f} ms/step-kernel")
+
+
 def bench_fft_parts(cfg, reps):
     """Decompose the packed inversion's cost: bare fft2, fft2+ifft2, and the
     full chain (symbols + negate-spectrum flips) on a complex 2048^2 field."""
-    packed = core._build_packed_inverter(cfg)
+    from tpu_qg.ops.spectral import PackedModalInverter
+    packed = PackedModalInverter(cfg.M, cfg.P, cfg.dx, cfg.S_eig,
+                                 cfg.P_inv_matrix(),
+                                 cfg.back_projection_matrix())
     n_inner = 20
 
     def loop(fn):
@@ -165,8 +208,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=["step-xla", "step-xla-batched",
                                         "step-pallas", "step-pallas-v2",
-                                        "step-pallas-v4", "invert",
-                                        "invert-mxu", "fft-parts"])
+                                        "step-pallas-v4", "step-matmul",
+                                        "invert", "invert-mxu", "fft-parts",
+                                        "kernel-only"])
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=50)
@@ -181,6 +225,8 @@ def main():
                      variants=("mxu", "packed"))
     elif args.variant == "fft-parts":
         bench_fft_parts(_cfg(args.M, args.P, False), args.reps)
+    elif args.variant == "kernel-only":
+        bench_kernel_only(_cfg(args.M, args.P, True), args.reps)
     elif args.variant == "step-xla":
         bench_step(_cfg(args.M, args.P, False), args.steps, args.reps)
     elif args.variant == "step-xla-batched":
@@ -188,6 +234,10 @@ def main():
                    force_batched=True)
     elif args.variant == "step-pallas":
         bench_step(_cfg(args.M, args.P, True), args.steps, args.reps)
+    elif args.variant == "step-matmul":
+        # v4 kernel + matmul-factorized DFT inversion.
+        bench_step(_cfg(args.M, args.P, True).replace(fft_impl="matmul"),
+                   args.steps, args.reps)
     elif args.variant == "step-pallas-v4":
         # Swap the v3 kernel for the streamed (double-buffered input) v4 at
         # core's import site; everything else identical to step-pallas.

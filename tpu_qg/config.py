@@ -74,9 +74,11 @@ class ModelConfig:
     # (BASELINE config 1's barotropic vortex).
     ic_type: str = "random"
     # Transform backend for the packed modal inversion: "xla" = jnp.fft (the
-    # default/oracle), "matmul" = the MXU matmul-factorized DFT
-    # (ops/matmul_fft.py) with permuted spectral order.
-    fft_impl: str = "xla"
+    # oracle), "matmul" = the MXU matmul-factorized DFT (ops/matmul_fft.py)
+    # with permuted spectral order (2.11 vs 2.57 ms/step at 2048^2 on v5e),
+    # "auto" = matmul on TPU float32 with MXU-friendly factorizations, xla
+    # otherwise.
+    fft_impl: str = "auto"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -89,7 +91,7 @@ class ModelConfig:
             raise ValueError(f"unsupported time_scheme {self.time_scheme!r}")
         if self.ic_type not in ("random", "vortex"):
             raise ValueError(f"unsupported ic_type {self.ic_type!r}")
-        if self.fft_impl not in ("xla", "matmul"):
+        if self.fft_impl not in ("auto", "xla", "matmul"):
             raise ValueError(f"unsupported fft_impl {self.fft_impl!r}")
 
     # --- derived geometry ---

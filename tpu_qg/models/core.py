@@ -138,12 +138,26 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
     return jnp.stack([p11 * pt0 + p12 * pt1_, p21 * pt0 + p22 * pt1_])
 
 
+def _resolve_fft_impl(cfg: ModelConfig) -> str:
+    """Resolve fft_impl="auto": the matmul-factorized DFT wins on TPU float32
+    when both grid extents factor MXU-friendly (largest divisor <= 128 is at
+    least 8 — a degenerate N1 would make one stage a dense N x N matmul)."""
+    if cfg.fft_impl != "auto":
+        return cfg.fft_impl
+    if jax.default_backend() != "tpu" or cfg.dtype != "float32":
+        return "xla"
+    from ..ops.matmul_fft import split_factor
+    if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
+        return "matmul"
+    return "xla"
+
+
 def _build_packed_inverter(cfg: ModelConfig):
     """PackedModalInverter for the single-complex-fft2 inversion (two-layer,
     zero-mean gauge only — the pin gauge needs the per-mode physical field).
     ``fft_impl="matmul"`` swaps in the MXU matmul-factorized DFT."""
     from ..ops.spectral import PackedModalInverter, PackedModalInverterMXU
-    cls = (PackedModalInverterMXU if cfg.fft_impl == "matmul"
+    cls = (PackedModalInverterMXU if _resolve_fft_impl(cfg) == "matmul"
            else PackedModalInverter)
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())

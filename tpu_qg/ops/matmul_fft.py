@@ -35,14 +35,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-# Matmul precision for the DFT stages. HIGHEST = true f32 (6-pass bf16
-# emulation on TPU); HIGH = bf16x3 (near-f32, half the MXU passes). Overridable
-# for experiments via TPU_QG_MXU_PREC=default|high|highest.
+# Matmul precision for the DFT stages. HIGH = bf16x3 (near-f32 accuracy,
+# half the MXU passes of HIGHEST's true-f32 emulation; measured 2.38 vs 2.76
+# ms/inversion at 2048^2 — the difference vs HIGHEST on the solved field is
+# ~1e-6 relative, below the model's own f32 arithmetic noise). Overridable via
+# TPU_QG_MXU_PREC=default|high|highest.
 _PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("TPU_QG_MXU_PREC", "highest")]
+}[os.environ.get("TPU_QG_MXU_PREC", "high")]
 
 
 def split_factor(N: int) -> tuple[int, int]:
