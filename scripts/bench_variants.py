@@ -76,12 +76,14 @@ def bench_step(cfg, steps, reps, force_batched=False):
 
 def bench_invert(cfg, reps, variants=("packed", "batched")):
     from tpu_qg.ops.spectral import (BatchedModalSolver, PackedModalInverter,
-                                     PackedModalInverterMXU)
+                                     PackedModalInverterMXU,
+                                     PackedModalInverterPallasFFT)
     inv_args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                 cfg.back_projection_matrix())
     packed = PackedModalInverter(*inv_args)
     batched = BatchedModalSolver(cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig))
     mxu = PackedModalInverterMXU(*inv_args)
+    pfft = PackedModalInverterPallasFFT(*inv_args)
     (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
     (p11, p12), (p21, p22) = cfg.back_projection_matrix()
 
@@ -106,12 +108,14 @@ def bench_invert(cfg, reps, variants=("packed", "batched")):
                           jnp.float32)
     table = {"packed": ("packed (1x complex fft2+ifft2)", loop(packed)),
              "batched": ("batched (rfft2 modal + proj)", loop(full_batched)),
-             "mxu": ("mxu (matmul-factorized DFT)", loop(mxu))}
-    if "mxu" in variants:
-        ref = jax.jit(packed)(z)
-        got = jax.jit(mxu)(z)
-        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
-        print(f"  mxu-vs-packed max rel diff: {err:.3e}")
+             "mxu": ("mxu (matmul-factorized DFT)", loop(mxu)),
+             "pfft": ("pfft (fused Pallas factored DFT)", loop(pfft))}
+    for name, impl in (("mxu", mxu), ("pfft", pfft)):
+        if name in variants:
+            ref = jax.jit(packed)(z)
+            got = jax.jit(impl)(z)
+            err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+            print(f"  {name}-vs-packed max rel diff: {err:.3e}")
     for name, fn in (table[v] for v in variants):
         out = fn(z)
         _sync(out)
@@ -209,7 +213,8 @@ def main():
     ap.add_argument("variant", choices=["step-xla", "step-xla-batched",
                                         "step-pallas", "step-pallas-v2",
                                         "step-pallas-v4", "step-matmul",
-                                        "invert", "invert-mxu", "fft-parts",
+                                        "step-pfft", "invert", "invert-mxu",
+                                        "invert-pfft", "fft-parts",
                                         "kernel-only"])
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
@@ -223,6 +228,9 @@ def main():
     elif args.variant == "invert-mxu":
         bench_invert(_cfg(args.M, args.P, False), args.reps,
                      variants=("mxu", "packed"))
+    elif args.variant == "invert-pfft":
+        bench_invert(_cfg(args.M, args.P, False), args.reps,
+                     variants=("pfft", "mxu"))
     elif args.variant == "fft-parts":
         bench_fft_parts(_cfg(args.M, args.P, False), args.reps)
     elif args.variant == "kernel-only":
@@ -237,6 +245,10 @@ def main():
     elif args.variant == "step-matmul":
         # v4 kernel + matmul-factorized DFT inversion.
         bench_step(_cfg(args.M, args.P, True).replace(fft_impl="matmul"),
+                   args.steps, args.reps)
+    elif args.variant == "step-pfft":
+        # v4 kernel + fused Pallas factored-DFT inversion.
+        bench_step(_cfg(args.M, args.P, True).replace(fft_impl="pallas"),
                    args.steps, args.reps)
     elif args.variant == "step-pallas-v4":
         # Swap the v3 kernel for the streamed (double-buffered input) v4 at

@@ -1,0 +1,99 @@
+"""Fused Pallas factored-DFT tests (interpret mode on CPU).
+
+The kernel must reproduce matmul_fft.FactoredFFT's permuted-order transforms
+exactly (same plan, same conventions), and the planar packed inverter must
+match the complex-FFT PackedModalInverter oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_qg.ops.matmul_fft import MatmulFFT2, freq_order
+from tpu_qg.ops.pallas_fft import PlanarFFT2, pallas_fft_supported
+
+
+def _planar(z):
+    return jnp.stack([jnp.real(z), jnp.imag(z)]).astype(jnp.float32)
+
+
+def _complex(p):
+    return np.asarray(p[0]) + 1j * np.asarray(p[1])
+
+
+def _rand_complex(M, P, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((M, P)) + 1j * rng.standard_normal((M, P)))
+
+
+@pytest.mark.parametrize("M,P", [(256, 256), (256, 512), (384, 256)])
+def test_forward_matches_matmul_fft(M, P):
+    z = _rand_complex(M, P)
+    ref = np.asarray(MatmulFFT2(M, P).forward(jnp.asarray(z, jnp.complex64)))
+    got = _complex(PlanarFFT2(M, P, interpret=True).forward(_planar(z)))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=3e-6 * scale)
+
+
+@pytest.mark.parametrize("M,P", [(256, 256), (256, 512)])
+def test_roundtrip_identity(M, P):
+    z = _rand_complex(M, P, seed=1)
+    fft2 = PlanarFFT2(M, P, interpret=True)
+    back = _complex(fft2.inverse(fft2.forward(_planar(z))))
+    np.testing.assert_allclose(back, z, rtol=0, atol=3e-6 * np.abs(z).max())
+
+
+def test_forward_is_the_permuted_dft():
+    M = P = 256
+    z = _rand_complex(M, P, seed=2)
+    W = _complex(PlanarFFT2(M, P, interpret=True).forward(_planar(z)))
+    ref = np.fft.fft2(z)[np.ix_(freq_order(M), freq_order(P))]
+    np.testing.assert_allclose(W, ref, rtol=0, atol=3e-5 * np.abs(ref).max())
+
+
+def test_supported_predicate():
+    assert pallas_fft_supported(128)
+    assert pallas_fft_supported(256)
+    assert pallas_fft_supported(2048)
+    assert not pallas_fft_supported(4096)   # N2 = 32 > 16
+    assert not pallas_fft_supported(192)    # N1 = 96 != 128
+    assert not pallas_fft_supported(64)
+
+
+def test_packed_inverter_matches_oracle():
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.ops.spectral import (PackedModalInverter,
+                                     PackedModalInverterPallasFFT)
+
+    cfg = ModelConfig(M=256, P=256, Lx=4000.0 * KM, Ly=4000.0 * KM,
+                      dt=60.0, T=3600.0, dtype="float32")
+    args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix())
+    rng = np.random.default_rng(3)
+    zeta = jnp.asarray(rng.standard_normal((2, cfg.M, cfg.P)), jnp.float32)
+    ref = np.asarray(PackedModalInverter(*args)(zeta))
+    got = np.asarray(PackedModalInverterPallasFFT(*args, interpret=True)(zeta))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5 * np.abs(ref).max())
+
+
+def test_model_step_with_pallas_fft_matches_xla_fft():
+    """One full jitted model step with fft_impl='pallas' (interpret mode on
+    CPU) must match the XLA-FFT step."""
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.models import core
+
+    base = dict(M=256, P=256, Lx=4000.0 * KM, Ly=4000.0 * KM,
+                dt=60.0, T=3600.0, dtype="float32")
+    state0 = core.init_state(ModelConfig(**base), key=jax.random.PRNGKey(0))
+
+    def run(fft_impl, n=3):
+        cfg = ModelConfig(**base, fft_impl=fft_impl)
+        model = core.QGModel(cfg)
+        return np.asarray(model.run(state0, n).zeta)
+
+    ref = run("xla")
+    got = run("pallas")
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5 * np.abs(ref).max())

@@ -91,7 +91,7 @@ class ModelConfig:
             raise ValueError(f"unsupported time_scheme {self.time_scheme!r}")
         if self.ic_type not in ("random", "vortex"):
             raise ValueError(f"unsupported ic_type {self.ic_type!r}")
-        if self.fft_impl not in ("auto", "xla", "matmul"):
+        if self.fft_impl not in ("auto", "xla", "matmul", "pallas"):
             raise ValueError(f"unsupported fft_impl {self.fft_impl!r}")
 
     # --- derived geometry ---

@@ -139,14 +139,19 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
 
 
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
-    """Resolve fft_impl="auto": the matmul-factorized DFT wins on TPU float32
-    when both grid extents factor MXU-friendly (largest divisor <= 128 is at
-    least 8 — a degenerate N1 would make one stage a dense N x N matmul)."""
+    """Resolve fft_impl="auto": on TPU float32, the fused Pallas factored DFT
+    (one VMEM-resident kernel per 1-D transform) when both extents fit its
+    128 * N2 (N2 <= 16) shape; else the matmul-factorized DFT when both
+    extents factor MXU-friendly (largest divisor <= 128 at least 8); else
+    XLA's FFT."""
     if cfg.fft_impl != "auto":
         return cfg.fft_impl
     if jax.default_backend() != "tpu" or cfg.dtype != "float32":
         return "xla"
     from ..ops.matmul_fft import split_factor
+    from ..ops.pallas_fft import pallas_fft_supported
+    if pallas_fft_supported(cfg.M) and pallas_fft_supported(cfg.P):
+        return "pallas"
     if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
         return "matmul"
     return "xla"
@@ -155,10 +160,13 @@ def _resolve_fft_impl(cfg: ModelConfig) -> str:
 def _build_packed_inverter(cfg: ModelConfig):
     """PackedModalInverter for the single-complex-fft2 inversion (two-layer,
     zero-mean gauge only — the pin gauge needs the per-mode physical field).
-    ``fft_impl="matmul"`` swaps in the MXU matmul-factorized DFT."""
-    from ..ops.spectral import PackedModalInverter, PackedModalInverterMXU
-    cls = (PackedModalInverterMXU if _resolve_fft_impl(cfg) == "matmul"
-           else PackedModalInverter)
+    ``fft_impl="matmul"`` swaps in the MXU matmul-factorized DFT;
+    ``fft_impl="pallas"`` the fused Pallas factored DFT."""
+    from ..ops.spectral import (PackedModalInverter, PackedModalInverterMXU,
+                                PackedModalInverterPallasFFT)
+    impl = _resolve_fft_impl(cfg)
+    cls = {"pallas": PackedModalInverterPallasFFT,
+           "matmul": PackedModalInverterMXU}.get(impl, PackedModalInverter)
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())
 

@@ -1,0 +1,265 @@
+"""Pallas fused factored-DFT: both Cooley-Tukey stages VMEM-resident.
+
+The matmul-factorized DFT (tpu_qg.ops.matmul_fft) expresses an N-point DFT as
+two batched GEMMs + a twiddle, but at the XLA level every stage round-trips
+HBM (and complex64 dots decompose into real dots with extra copies), leaving
+the inversion ~3.5x off the HBM floor. This module performs an entire 1-D
+transform — small-radix stage, twiddle, large-radix stage — inside one Pallas
+kernel while the tile sits in VMEM, so each 1-D transform costs exactly one
+HBM read + one HBM write of the field.
+
+Conventions (identical to matmul_fft.FactoredFFT so the permuted-order
+spectral symbols and negate-spectrum logic are shared):
+
+  * N = N1 * N2 with N1 = 128 (MXU-sized), decimation n = n1 + N1*n2.
+  * Forward: natural order -> permuted order (slot k2*N1 + k1 holds frequency
+    k2 + N2*k1); inverse consumes permuted order, emits natural, scales 1/N.
+  * Complex fields are PLANAR: a leading axis of size 2 holds (real, imag)
+    float32 planes — complex64 never appears, so Mosaic sees pure f32 tiles
+    and the packed two-layer state (zeta_1, zeta_2) IS already the planar
+    packing of w = zeta_1 + i zeta_2.
+
+TPU mapping (no transposes, no unaligned slices anywhere):
+
+  * small stage (radix N2 <= 16): per destination block, a sum of N2
+    scalar-weighted 128-wide chunk FMAs on the VPU. Chunk slices fall on
+    N1 = 128 lane (y-kernel) / sublane (x-kernel) boundaries.
+  * large stage (radix 128): one 128x128 MXU dot per block (4 real dots per
+    complex dot), contracting the minor (y) / intra-block-row (x) axis.
+  * twiddle: fused VPU multiply between the stages.
+
+Reference counterpart: the cached sparse Cholesky backsolves the reference
+performs every step (src/schemes/laplacian.jl:60-75, src/model.jl:184-192);
+this is the speed-of-light TPU form of the same diagonalization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul_fft import _PREC, _dft, _twiddle, split_factor
+
+_N1 = 128  # large-radix size == MXU tile edge
+
+# Mosaic's dot lowering supports only DEFAULT and HIGHEST; map the module
+# default (HIGH = bf16x3) up to HIGHEST (full f32 emulation) — the MXU stage
+# is a small fraction of the kernel's cost, and full f32 keeps the fused
+# transform at least as accurate as the XLA-level matmul DFT.
+_KPREC = (jax.lax.Precision.HIGHEST if _PREC == jax.lax.Precision.HIGH
+          else _PREC)
+
+
+def pallas_fft_supported(N: int) -> bool:
+    """The fused kernel handles N = 128 * N2 with N2 in [1, 16]."""
+    n1, n2 = split_factor(N)
+    return n1 == _N1 and 1 <= n2 <= 16
+
+
+def _plan(N: int, axis: str, inverse: bool):
+    """Numpy constants for one transform direction.
+
+    Returns (N2, F2, Gr, Gi): F2 (dst, src) holds the small-stage scalar
+    weights; G (N2, N1, N1) the per-block MXU matrices with the twiddle
+    FOLDED IN (diagonal twiddle absorbed into the large-stage DFT matrix on
+    its contraction side), split into float32 real/imag stacks.
+    """
+    N1, N2 = split_factor(N)
+    assert N1 == _N1 and N2 <= 16, (N, N1, N2)
+    if not inverse:
+        F2 = _dft(N2, -1, np.complex128)             # (k2, n2)
+        F1 = _dft(N1, -1, np.complex128)             # (k1, n1)
+        tw = _twiddle(N2, N1, -1, np.complex128)     # (k2, n1)
+        if axis == "y":
+            # out_b = (small_b * tw_b) @ F1^T  ==  small_b @ (diag(tw_b) F1^T)
+            G = tw[:, :, None] * F1.T[None, :, :]            # (b, n1, k1)
+        else:
+            # out_b = F1 @ (small_b * tw_b[:, None])
+            G = F1[None, :, :] * tw[:, None, :]              # (b, k1, n1)
+    else:
+        F2 = _dft(N2, +1, np.complex128).T / N2      # (n2, c): dst=n2, src=c
+        F1 = _dft(N1, +1, np.complex128) / N1        # (n1, k1)
+        tw = _twiddle(N2, N1, +1, np.complex128)     # (c, n1)
+        if axis == "y":
+            # chunk_c = (X_c @ F1^T) * tw_c  ==  X_c @ (F1^T diag(tw_c))
+            G = F1.T[None, :, :] * tw[:, None, :]            # (c, k1, n1out)
+        else:
+            # chunk_c = diag(tw_c) F1 @ X_c
+            G = tw[:, :, None] * F1[None, :, :]              # (c, n1out, k1)
+    Gr = np.ascontiguousarray(G.real.astype(np.float32))
+    Gi = np.ascontiguousarray(G.imag.astype(np.float32))
+    return N2, F2, Gr, Gi
+
+
+def _small_stage(chunks_r, chunks_i, F2, b):
+    """Destination block b of the small stage: sum of scalar-weighted chunks.
+
+    chunks_*[s] are (rows, N1) f32 views; F2[b, s] the complex weights.
+    Pure VPU: 4*N2 fused multiply-adds per block.
+    """
+    sr = si = None
+    for s in range(len(chunks_r)):
+        cr, ci = chunks_r[s], chunks_i[s]
+        wr = float(F2[b, s].real)
+        wi = float(F2[b, s].imag)
+        tr = cr * wr - ci * wi
+        ti = cr * wi + ci * wr
+        sr = tr if sr is None else sr + tr
+        si = ti if si is None else si + ti
+    return sr, si
+
+
+def _cdot(ar, ai, br_c, bi_c, left: bool):
+    """Complex matmul with a compile-time constant matrix (4 real MXU dots).
+
+    left=False: (rows, K) @ const (K, K) — y-direction (contract minor axis).
+    left=True:  const (K, K) @ (K, cols) — x-direction (contract block rows).
+    """
+    dot = functools.partial(jnp.dot, precision=_KPREC,
+                            preferred_element_type=jnp.float32)
+    if left:
+        return (dot(br_c, ar) - dot(bi_c, ai), dot(br_c, ai) + dot(bi_c, ar))
+    return (dot(ar, br_c) - dot(ai, bi_c), dot(ar, bi_c) + dot(ai, br_c))
+
+
+def _build_kernel(N: int, *, axis: str, inverse: bool):
+    """Kernel body for one 1-D transform along ``axis`` ('y' = minor lanes,
+    'x' = rows). Operands: (Gr, Gi, x) -> o; tile shapes y (2, R, N),
+    x (2, N, C); G (N2, N1, N1) twiddle-folded MXU matrices."""
+    N2, F2, _, _ = _plan(N, axis, inverse)
+
+    def blk(arr, j):
+        if axis == "y":
+            return arr[:, j * _N1:(j + 1) * _N1]
+        return arr[j * _N1:(j + 1) * _N1, :]
+
+    def kernel(gr_ref, gi_ref, x_ref, o_ref):
+        xr, xi = x_ref[0], x_ref[1]
+        if not inverse:
+            # small stage (chunks of the natural-order input) -> MXU stage
+            # (twiddle folded into the per-block matrix).
+            chunks_r = [blk(xr, s) for s in range(N2)]
+            chunks_i = [blk(xi, s) for s in range(N2)]
+            for b in range(N2):
+                sr, si = _small_stage(chunks_r, chunks_i, F2, b)
+                orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b],
+                                 left=(axis == "x"))
+                if axis == "y":
+                    o_ref[0, :, b * _N1:(b + 1) * _N1] = orr
+                    o_ref[1, :, b * _N1:(b + 1) * _N1] = oii
+                else:
+                    o_ref[0, b * _N1:(b + 1) * _N1, :] = orr
+                    o_ref[1, b * _N1:(b + 1) * _N1, :] = oii
+        else:
+            # MXU stage per permuted block (twiddle folded in) -> small stage
+            # back to natural order.
+            chunks_r, chunks_i = [], []
+            for c in range(N2):
+                vr, vi = _cdot(blk(xr, c), blk(xi, c), gr_ref[c], gi_ref[c],
+                               left=(axis == "x"))
+                chunks_r.append(vr)
+                chunks_i.append(vi)
+            for b in range(N2):
+                sr, si = _small_stage(chunks_r, chunks_i, F2, b)
+                if axis == "y":
+                    o_ref[0, :, b * _N1:(b + 1) * _N1] = sr
+                    o_ref[1, :, b * _N1:(b + 1) * _N1] = si
+                else:
+                    o_ref[0, b * _N1:(b + 1) * _N1, :] = sr
+                    o_ref[1, b * _N1:(b + 1) * _N1, :] = si
+
+    return kernel
+
+
+def _pick_rows(M: int, P: int) -> int:
+    """Row-tile size for the y-kernel: largest divisor of M that keeps one
+    (2, R, P) f32 block near 2 MB (in + out double-buffered ~ 8 MB VMEM)."""
+    budget = max(8, (2 * 1024 * 1024) // (2 * P * 4))
+    r = 8
+    for cand in range(8, min(M, 256) + 1, 8):
+        if M % cand == 0 and cand <= budget:
+            r = cand
+    return r
+
+
+def _pick_cols(M: int, P: int) -> int:
+    """Column-strip width for the x-kernel: multiple of 128 near 2 MB."""
+    budget = max(128, (2 * 1024 * 1024) // (2 * M * 4) // 128 * 128)
+    c = 128
+    for cand in range(128, min(P, 512) + 1, 128):
+        if P % cand == 0 and cand <= budget:
+            c = cand
+    return c
+
+
+class PlanarFFT2:
+    """2-D DFT over the trailing (M, P) axes of a planar (2, M, P) float32
+    field, permuted spectral order on both axes (matmul_fft conventions).
+
+    forward: natural -> permuted spectrum; inverse: permuted -> natural, 1/N.
+    Each direction is one fused Pallas kernel (one HBM read+write per 1-D
+    transform); x- and y-transforms commute so fft2 is y then x.
+    """
+
+    def __init__(self, M: int, P: int, interpret: bool = False):
+        if not (pallas_fft_supported(M) and pallas_fft_supported(P)):
+            raise ValueError(f"PlanarFFT2 unsupported for {(M, P)}: each "
+                             "extent must be 128 * N2 with N2 <= 16")
+        self.M, self.P = M, P
+        # Mosaic only targets TPU; everywhere else run the kernels in
+        # interpret mode (tests, CPU oracles).
+        self.interpret = interpret or jax.default_backend() != "tpu"
+        self._R = _pick_rows(M, P)
+        self._C = _pick_cols(M, P)
+        self._kern, self._G = {}, {}
+        for inv in (False, True):
+            self._kern[("y", inv)] = _build_kernel(P, axis="y", inverse=inv)
+            self._kern[("x", inv)] = _build_kernel(M, axis="x", inverse=inv)
+            _, _, gry, giy = _plan(P, "y", inv)
+            _, _, grx, gix = _plan(M, "x", inv)
+            self._G[("y", inv)] = (jnp.asarray(gry), jnp.asarray(giy))
+            self._G[("x", inv)] = (jnp.asarray(grx), jnp.asarray(gix))
+
+    def _call_y(self, z: Array, inverse: bool) -> Array:
+        M, P, R = self.M, self.P, self._R
+        gr, gi = self._G[("y", inverse)]
+        n2 = gr.shape[0]
+        gspec = pl.BlockSpec((n2, _N1, _N1), lambda i: (0, 0, 0))
+        return pl.pallas_call(
+            self._kern[("y", inverse)],
+            grid=(M // R,),
+            in_specs=[gspec, gspec,
+                      pl.BlockSpec((2, R, P), lambda i: (0, i, 0))],
+            out_specs=pl.BlockSpec((2, R, P), lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            interpret=self.interpret,
+        )(gr, gi, z)
+
+    def _call_x(self, z: Array, inverse: bool) -> Array:
+        M, P, C = self.M, self.P, self._C
+        gr, gi = self._G[("x", inverse)]
+        n2 = gr.shape[0]
+        gspec = pl.BlockSpec((n2, _N1, _N1), lambda j: (0, 0, 0))
+        return pl.pallas_call(
+            self._kern[("x", inverse)],
+            grid=(P // C,),
+            in_specs=[gspec, gspec,
+                      pl.BlockSpec((2, M, C), lambda j: (0, 0, j))],
+            out_specs=pl.BlockSpec((2, M, C), lambda j: (0, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            interpret=self.interpret,
+        )(gr, gi, z)
+
+    def forward(self, z: Array) -> Array:
+        """Planar (2, M, P) natural order -> planar permuted spectrum."""
+        return self._call_x(self._call_y(z, False), False)
+
+    def inverse(self, Z: Array) -> Array:
+        """Planar permuted spectrum -> planar natural order (scaled 1/MP)."""
+        return self._call_y(self._call_x(Z, True), True)

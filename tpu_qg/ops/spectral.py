@@ -237,6 +237,34 @@ class PackedModalInverterMXU(PackedModalInverter):
         return jnp.stack([v.real, v.imag]).astype(zeta.dtype)
 
 
+class PackedModalInverterPallasFFT(PackedModalInverterMXU):
+    """PackedModalInverter with the transforms done by the fused Pallas
+    factored-DFT (tpu_qg.ops.pallas_fft): each 1-D transform is a single
+    VMEM-resident kernel (small stage + twiddle + MXU stage in one HBM
+    read/write), and the field stays PLANAR float32 end to end — the packed
+    (zeta_1, zeta_2) stack IS the planar complex field, so no complex dtype,
+    no pack/unpack, appears anywhere. Same permuted spectral order, symbols,
+    and zero-mean gauge as the MXU parent."""
+
+    def __init__(self, M: int, P: int, dx: float, alpha2: float,
+                 P_inv, P_back, interpret: bool = False):
+        super().__init__(M, P, dx, alpha2, P_inv, P_back)
+        from .pallas_fft import PlanarFFT2
+        self._pfft = PlanarFFT2(M, P, interpret=interpret)
+
+    def __call__(self, zeta: Array) -> Array:
+        W = self._pfft.forward(zeta)                   # planar (2, M, P)
+        A, B = self._symbols(zeta.dtype)
+        Wn = self._fft2.negate_spectrum(W)             # W(-k), per plane
+        Wr, Wi = W[0], W[1]
+        Wr2, Wi2 = Wn[0], Wn[1]
+        # V = A W + B conj(W(-k)), expanded on the planes.
+        Vr = A.real * Wr - A.imag * Wi + B.real * Wr2 + B.imag * Wi2
+        Vi = A.imag * Wr + A.real * Wi + B.imag * Wr2 - B.real * Wi2
+        v = self._pfft.inverse(jnp.stack([Vr, Vi]))
+        return v.astype(zeta.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "P", "dx", "alpha", "gauge"))
 def _solve(f, M, P, dx, alpha, gauge):
     return HelmholtzSolver(M, P, dx, alpha, gauge=gauge)(f)
