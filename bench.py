@@ -11,11 +11,20 @@ throughput is the M=256 sweep point — 24 steps in 5.141 s on one CPU core
 (BASELINE.md, julia_parts_graph.ipynb cell 3) = 3.06e5 grid-point-steps/s.
 vs_baseline is the ratio of our per-chip throughput to that number.
 
-Orchestration: compiling Pallas-containing programs through the remote TPU
-tunnel can take ~10 minutes, so the driver-facing entry point runs the Pallas
-variant in a timeboxed subprocess and falls back to the (faster-compiling)
-pure-XLA variant if it doesn't finish in time. `python bench.py --mode
-pallas|xla` runs a single variant inline.
+Orchestration (round-2 hardening; see VERDICT.md): the headline metric must be
+un-crashable. auto mode tries a tier ladder — each candidate step variant in
+its own timeboxed subprocess — and falls through on ANY failure:
+
+    pallas  fused Pallas tendency kernel + fused Pallas factored-DFT inversion
+    matmul  fused Pallas tendency kernel + MXU matmul-DFT inversion (pure-XLA
+            transforms; the fastest hardware-verified config of round 1)
+    xla     fused Pallas tendency kernel + jnp.fft inversion
+    plain   no Pallas anywhere, jnp.fft inversion (maximum-safety oracle path)
+
+The final 'plain' tier also runs inline under try/except, and a JSON line is
+ALWAYS printed (value 0.0 only if every tier failed, which would mean the
+chip itself is unreachable). `python bench.py --mode <tier>` runs one tier
+inline.
 """
 
 import argparse
@@ -27,8 +36,17 @@ import time
 # Reference: M=256, 1 model-day, dt=60 min => 24 steps in 5.141 s (1 CPU core).
 _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 
+# mode -> (use_pallas, fft_impl). fft_impl is ALWAYS pinned explicitly so a
+# bad "auto" resolution can never leak a broken transform into a fallback tier.
+_MODES = {
+    "pallas": (True, "pallas"),
+    "matmul": (True, "matmul"),
+    "xla": (True, "xla"),
+    "plain": (False, "xla"),
+}
 
-def bench(use_pallas: bool, M=2048, P=2048, steps_per_chunk=50, reps=4):
+
+def bench(mode: str, M=2048, P=2048, steps_per_chunk=50, reps=4):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -40,9 +58,11 @@ def bench(use_pallas: bool, M=2048, P=2048, steps_per_chunk=50, reps=4):
     from tpu_qg.constants import KM
     from tpu_qg.models.core import QGModel, init_state
 
+    use_pallas, fft_impl = _MODES[mode]
     cfg = ModelConfig(
         M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM,
-        dt=60.0, T=3600.0, dtype="float32", use_pallas=use_pallas,
+        dt=60.0, T=3600.0, dtype="float32",
+        use_pallas=use_pallas, fft_impl=fft_impl,
     )
     model = QGModel(cfg)
     state = init_state(cfg, key=jax.random.PRNGKey(0))
@@ -64,6 +84,10 @@ def bench(use_pallas: bool, M=2048, P=2048, steps_per_chunk=50, reps=4):
         sync(state)
         best = min(best, time.perf_counter() - t0)
 
+    # A tier that produces non-finite fields must not record a number.
+    if not bool(jnp.isfinite(state.zeta).all()):
+        raise RuntimeError(f"tier {mode}: non-finite state after "
+                           f"{steps_per_chunk * (reps + 1)} steps")
     return M * P * steps_per_chunk / best
 
 
@@ -76,30 +100,51 @@ def result_line(gps: float) -> str:
     })
 
 
+def _try_subprocess(mode: str, timeout: float):
+    """Run one tier in a subprocess; return its JSON line or None."""
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--mode", mode],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] tier {mode}: timed out after {timeout}s",
+              file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return line
+    tail = (out.stderr or out.stdout or "").strip().splitlines()[-3:]
+    print(f"[bench] tier {mode}: rc={out.returncode} " + " | ".join(tail),
+          file=sys.stderr)
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="auto",
-                        choices=["auto", "pallas", "xla"])
-    parser.add_argument("--pallas-timeout", type=float, default=900.0)
+                        choices=["auto"] + sorted(_MODES))
+    parser.add_argument("--tier-timeout", type=float, default=1500.0,
+                        help="per-tier subprocess timeout in auto mode "
+                             "(remote-tunnel compiles run 3-15 min)")
     args = parser.parse_args()
 
-    if args.mode in ("pallas", "xla"):
-        print(result_line(bench(use_pallas=args.mode == "pallas")))
+    if args.mode != "auto":
+        print(result_line(bench(args.mode)))
         return
 
-    # auto: timeboxed Pallas attempt, XLA fallback.
+    for mode in ("pallas", "matmul", "xla"):
+        line = _try_subprocess(mode, args.tier_timeout)
+        if line is not None:
+            print(line)
+            return
+
+    # Last resort: maximum-safety path inline, guarded; ALWAYS print JSON.
     try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--mode", "pallas"],
-            capture_output=True, text=True, timeout=args.pallas_timeout,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return
-    except subprocess.TimeoutExpired:
-        pass
-    print(result_line(bench(use_pallas=False)))
+        print(result_line(bench("plain")))
+    except Exception as e:  # noqa: BLE001 - the headline must never crash
+        print(f"[bench] plain tier failed: {e!r}", file=sys.stderr)
+        print(result_line(0.0))
 
 
 if __name__ == "__main__":

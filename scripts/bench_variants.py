@@ -82,8 +82,11 @@ def bench_invert(cfg, reps, variants=("packed", "batched")):
                 cfg.back_projection_matrix())
     packed = PackedModalInverter(*inv_args)
     batched = BatchedModalSolver(cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig))
-    mxu = PackedModalInverterMXU(*inv_args)
-    pfft = PackedModalInverterPallasFFT(*inv_args)
+    # Lazy: PallasFFT (and MXU) inverters reject grids their kernels don't
+    # support, so only construct the ones actually requested.
+    mxu = PackedModalInverterMXU(*inv_args) if "mxu" in variants else None
+    pfft = (PackedModalInverterPallasFFT(*inv_args)
+            if "pfft" in variants else None)
     (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
     (p11, p12), (p21, p22) = cfg.back_projection_matrix()
 

@@ -138,20 +138,34 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
     return jnp.stack([p11 * pt0 + p12 * pt1_, p21 * pt0 + p22 * pt1_])
 
 
+# Hardware gate for the Pallas FFT in fft_impl="auto" (VERDICT.md round-1
+# process fix): this may only be True in a commit whose scripts/tpu_smoke.py
+# JSON (results/tpu_smoke_*.json) shows the Pallas FFT path compiling AND
+# matching the XLA oracle on the real chip at the headline 2048^2 size.
+# fft_impl="pallas" stays available as an explicit opt-in either way.
+_PALLAS_FFT_IN_AUTO = False
+
+
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
-    """Resolve fft_impl="auto": on TPU float32, the fused Pallas factored DFT
-    (one VMEM-resident kernel per 1-D transform) when both extents fit its
-    128 * N2 (N2 <= 16) shape; else the matmul-factorized DFT when both
-    extents factor MXU-friendly (largest divisor <= 128 at least 8); else
-    XLA's FFT."""
+    """Resolve fft_impl="auto": on TPU float32, the Pallas fused factored DFT
+    when hardware-gated in (see _PALLAS_FFT_IN_AUTO), the kernel's honest
+    VMEM-footprint bound admits the shape, AND Pallas is enabled; else the
+    matmul-factorized DFT when both extents factor MXU-friendly (largest
+    divisor <= 128 at least 8); else XLA's FFT.
+
+    ``use_pallas=False`` disables the Pallas FFT here too (round-1 lesson:
+    the "fallback" must actually fall back — see VERDICT.md), leaving matmul
+    (pure-XLA einsums) and xla as the non-Pallas tiers.
+    """
     if cfg.fft_impl != "auto":
         return cfg.fft_impl
     if jax.default_backend() != "tpu" or cfg.dtype != "float32":
         return "xla"
     from ..ops.matmul_fft import split_factor
-    from ..ops.pallas_fft import pallas_fft_supported
-    if pallas_fft_supported(cfg.M) and pallas_fft_supported(cfg.P):
-        return "pallas"
+    if cfg.use_pallas and _PALLAS_FFT_IN_AUTO:
+        from ..ops.pallas_fft import planar_fft2_fits
+        if planar_fft2_fits(cfg.M, cfg.P):
+            return "pallas"
     if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
         return "matmul"
     return "xla"

@@ -56,10 +56,43 @@ _KPREC = (jax.lax.Precision.HIGHEST if _PREC == jax.lax.Precision.HIGH
           else _PREC)
 
 
+# Scoped-VMEM budget for the kernels. The Mosaic default limit is 16 MB, which
+# the 2048^2 kernel exceeded in round 1 (20.41 MB measured at compile —
+# BENCH_r01.json); v5e/v5p cores have 128 MB of physical VMEM, so we raise the
+# per-kernel scoped limit explicitly and size tiles against an honest model.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_TARGET = int(0.70 * _VMEM_LIMIT)   # headroom for Mosaic's own scratch
+
+
+def _footprint(block_bytes: int, N2: int) -> int:
+    """Honest scoped-VMEM model for one transform kernel.
+
+    in + out blocks double-buffered (4 block-equivalents) plus kernel
+    temporaries (the live chunk-pair lists and small-stage accumulators
+    materialize ~4 more block-equivalents — calibrated against the compiler's
+    measured 20.41 MB at (2, 2048, 2048) with 2 MB blocks and N2 = 16), plus
+    the twiddle-folded G constant stacks (2 planes, double-buffered)."""
+    g_plane = N2 * _N1 * _N1 * 4
+    return 8 * block_bytes + 4 * g_plane
+
+
 def pallas_fft_supported(N: int) -> bool:
     """The fused kernel handles N = 128 * N2 with N2 in [1, 16]."""
     n1, n2 = split_factor(N)
     return n1 == _N1 and 1 <= n2 <= 16
+
+
+def planar_fft2_fits(M: int, P: int) -> bool:
+    """True iff PlanarFFT2(M, P) is shape-supported AND both direction
+    kernels fit the scoped-VMEM budget at their smallest legal tile
+    (R = 8 rows for y, C = 128 columns for x)."""
+    if not (pallas_fft_supported(M) and pallas_fft_supported(P)):
+        return False
+    n2_y = P // _N1
+    n2_x = M // _N1
+    y_min = _footprint(8 * 8 * P, n2_y)        # (2, 8, P) f32 block
+    x_min = _footprint(8 * M * 128, n2_x)      # (2, M, 128) f32 block
+    return y_min <= _VMEM_TARGET and x_min <= _VMEM_TARGET
 
 
 def _plan(N: int, axis: str, inverse: bool):
@@ -178,22 +211,23 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
 
 
 def _pick_rows(M: int, P: int) -> int:
-    """Row-tile size for the y-kernel: largest divisor of M that keeps one
-    (2, R, P) f32 block near 2 MB (in + out double-buffered ~ 8 MB VMEM)."""
-    budget = max(8, (2 * 1024 * 1024) // (2 * P * 4))
+    """Row-tile size for the y-kernel: largest divisor of M (multiple of 8,
+    <= 256) whose honest footprint stays under the scoped-VMEM target."""
+    n2 = P // _N1
     r = 8
     for cand in range(8, min(M, 256) + 1, 8):
-        if M % cand == 0 and cand <= budget:
+        if M % cand == 0 and _footprint(8 * cand * P, n2) <= _VMEM_TARGET:
             r = cand
     return r
 
 
 def _pick_cols(M: int, P: int) -> int:
-    """Column-strip width for the x-kernel: multiple of 128 near 2 MB."""
-    budget = max(128, (2 * 1024 * 1024) // (2 * M * 4) // 128 * 128)
+    """Column-strip width for the x-kernel: multiple of 128 (<= 512) whose
+    honest footprint stays under the scoped-VMEM target."""
+    n2 = M // _N1
     c = 128
     for cand in range(128, min(P, 512) + 1, 128):
-        if P % cand == 0 and cand <= budget:
+        if P % cand == 0 and _footprint(8 * M * cand, n2) <= _VMEM_TARGET:
             c = cand
     return c
 
@@ -208,9 +242,10 @@ class PlanarFFT2:
     """
 
     def __init__(self, M: int, P: int, interpret: bool = False):
-        if not (pallas_fft_supported(M) and pallas_fft_supported(P)):
+        if not planar_fft2_fits(M, P):
             raise ValueError(f"PlanarFFT2 unsupported for {(M, P)}: each "
-                             "extent must be 128 * N2 with N2 <= 16")
+                             "extent must be 128 * N2 with N2 <= 16 and the "
+                             "kernels must fit the scoped-VMEM budget")
         self.M, self.P = M, P
         # Mosaic only targets TPU; everywhere else run the kernels in
         # interpret mode (tests, CPU oracles).
@@ -239,6 +274,8 @@ class PlanarFFT2:
             out_specs=pl.BlockSpec((2, R, P), lambda i: (0, i, 0)),
             out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
             interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, z)
 
     def _call_x(self, z: Array, inverse: bool) -> Array:
@@ -254,6 +291,8 @@ class PlanarFFT2:
             out_specs=pl.BlockSpec((2, M, C), lambda j: (0, 0, j)),
             out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
             interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, z)
 
     def forward(self, z: Array) -> Array:
