@@ -15,7 +15,13 @@ block through the axon tunnel), best of `--reps`.
 """
 
 import argparse
+import os
+import sys
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # `python scripts/...` puts scripts/ first
+    sys.path.insert(0, _REPO)
 
 import jax
 

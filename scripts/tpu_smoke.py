@@ -1,0 +1,158 @@
+"""Hardware smoke gate for step-path defaults (VERDICT.md round-1 process fix).
+
+A config default (e.g. routing ``fft_impl="auto"`` through a new kernel) may
+only change in a commit whose smoke JSON shows that path COMPILING and
+MATCHING the XLA oracle on the real chip at the headline 2048^2 size. This
+script is that gate:
+
+    python scripts/tpu_smoke.py                   # all variants, sequential
+    python scripts/tpu_smoke.py --variants pallas # one variant
+    python scripts/tpu_smoke.py --inner plain     # (internal) one variant inline
+
+Each variant runs in its own timeboxed subprocess (remote-tunnel compiles run
+3-15 min; a kernel that fails to compile must not take the gate down with it)
+and is compared against the ``plain`` oracle state (no Pallas anywhere,
+jnp.fft inversion) after a fixed number of steps from a fixed seed. Results
+accumulate in ``results/tpu_smoke_<gitrev>.json``.
+
+Variants mirror bench.py's tier ladder:
+    plain   use_pallas=False, fft_impl=xla   (oracle; always run first)
+    xla     use_pallas=True,  fft_impl=xla
+    matmul  use_pallas=True,  fft_impl=matmul
+    pallas  use_pallas=True,  fft_impl=pallas
+
+Reference counterpart: the reference's only correctness gate for its hot loop
+is running it (src/run_model.jl:82-92); on a remote accelerator with a slow
+compiler that is not enough — hence this explicit pre-flip gate.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python scripts/...` puts scripts/ first, not REPO
+    sys.path.insert(0, REPO)
+ORACLE_NPY = "/tmp/tpu_smoke_oracle_{M}x{P}_s{steps}.npy"
+
+# variant -> (use_pallas, fft_impl)
+VARIANTS = {
+    "plain": (False, "xla"),
+    "xla": (True, "xla"),
+    "matmul": (True, "matmul"),
+    "pallas": (True, "pallas"),
+}
+
+
+def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
+    """One variant inline: compile + run `steps` steps, compare vs oracle."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.models.core import QGModel, init_state
+
+    use_pallas, fft_impl = VARIANTS[variant]
+    cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM,
+                      dt=60.0, T=3600.0, dtype="float32",
+                      use_pallas=use_pallas, fft_impl=fft_impl)
+    rec = {"variant": variant, "M": M, "P": P, "steps": steps,
+           "use_pallas": use_pallas, "fft_impl": fft_impl,
+           "platform": jax.devices()[0].platform}
+
+    t0 = time.perf_counter()
+    model = QGModel(cfg)
+    state = init_state(cfg, key=jax.random.PRNGKey(0))
+    state = model.run(state, steps)
+    zeta = np.asarray(state.zeta)  # host transfer forces completion
+    rec["compile_and_run_s"] = round(time.perf_counter() - t0, 2)
+
+    rec["finite"] = bool(np.isfinite(zeta).all())
+    oracle_path = ORACLE_NPY.format(M=M, P=P, steps=steps)
+    if variant == "plain":
+        np.save(oracle_path, zeta)
+        rec["max_rel_diff_vs_plain"] = 0.0
+    elif os.path.exists(oracle_path):
+        oracle = np.load(oracle_path)
+        scale = float(np.max(np.abs(oracle)))
+        rec["max_rel_diff_vs_plain"] = float(
+            np.max(np.abs(zeta - oracle)) / scale)
+    else:
+        rec["max_rel_diff_vs_plain"] = None  # oracle unavailable
+
+    # One timed chunk for a rough rate (not the headline protocol).
+    t0 = time.perf_counter()
+    state = model.run(state, steps)
+    float(jnp.sum(state.zeta))  # block_until_ready doesn't block on the tunnel
+    dt = time.perf_counter() - t0
+    rec["ms_per_step"] = round(dt / steps * 1e3, 3)
+    rec["ok"] = bool(rec["finite"] and
+                     (rec["max_rel_diff_vs_plain"] is None or
+                      rec["max_rel_diff_vs_plain"] < 2e-4))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--M", type=int, default=2048)
+    ap.add_argument("--P", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--timeout", type=float, default=1800.0)
+    ap.add_argument("--inner", help="(internal) run one variant inline")
+    args = ap.parse_args()
+
+    if args.inner:
+        print("SMOKE_JSON " + json.dumps(
+            run_inner(args.inner, args.M, args.P, args.steps)))
+        return
+
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    out_path = os.path.join(REPO, "results", f"tpu_smoke_{rev}.json")
+    records = []
+    # plain (the oracle) always runs first so comparisons are meaningful.
+    order = [v for v in VARIANTS if v in args.variants]
+    if "plain" in order:
+        order.remove("plain")
+        order.insert(0, "plain")
+    for variant in order:
+        cmd = [sys.executable, __file__, "--inner", variant,
+               "--M", str(args.M), "--P", str(args.P),
+               "--steps", str(args.steps)]
+        print(f"[smoke] {variant} ...", flush=True)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=args.timeout, cwd=REPO)
+            rec = None
+            for line in r.stdout.splitlines():
+                if line.startswith("SMOKE_JSON "):
+                    rec = json.loads(line[len("SMOKE_JSON "):])
+            if rec is None:
+                tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
+                rec = {"variant": variant, "ok": False, "rc": r.returncode,
+                       "error_tail": tail}
+        except subprocess.TimeoutExpired:
+            rec = {"variant": variant, "ok": False,
+                   "error_tail": [f"timeout after {args.timeout}s"]}
+        print(f"[smoke] {variant}: {json.dumps(rec)}", flush=True)
+        records.append(rec)
+        # Persist incrementally so a later hang never loses earlier evidence.
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"rev": rev, "M": args.M, "P": args.P,
+                       "steps": args.steps, "records": records}, f, indent=1)
+    print(f"[smoke] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

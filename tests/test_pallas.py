@@ -204,3 +204,123 @@ def test_fused_step_pre_fft_single_tile_and_single_layer():
     zn, tend = fused_step_pre_fft(cfg1, zeta, psi, f1, f2, jnp.asarray(5), True)
     np.testing.assert_allclose(np.asarray(tend), tend_ref, rtol=0,
                                atol=1e-6 * np.abs(tend_ref).max())
+
+
+# --- round 2: time-scheme and wind-forcing coverage of the fused kernels ---
+
+def _leapfrog_refs(cfg, zeta, psi, f1, step):
+    """Reference (zeta_new, filtered) from the XLA-path leapfrog formulas."""
+    import jax.numpy as jnp
+    tend = _tendencies(cfg, zeta, psi)
+    zpf = jnp.where(jnp.asarray(step) == 0, zeta, f1)
+    zn = jnp.where(jnp.asarray(step) == 0,
+                   zeta + cfg.dt * tend, zpf + 2.0 * cfg.dt * tend)
+    filt = zeta + cfg.ra_filter * (zpf - 2.0 * zeta + zn)
+    return np.asarray(zn), np.asarray(filt)
+
+
+def test_fused_step_streamed_leapfrog():
+    """v4 kernel under time_scheme=leapfrog_ra: carry2 is the RA-filtered
+    current level; f2 is never read."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_streamed
+
+    cfg = _cfg(M=256, P=128, time_scheme="leapfrog_ra")
+    zeta, psi = _rand((2, 256, 128), 60), _rand((2, 256, 128), 61)
+    f1 = _rand((2, 256, 128), 62)
+    f2 = jnp.full_like(f1, jnp.nan)  # must never be read under leapfrog
+
+    for tile in (128, 64):
+        for step in (0, 3):
+            zn_ref, filt_ref = _leapfrog_refs(cfg, zeta, psi, f1, step)
+            zn, filt = fused_step_streamed(
+                cfg, zeta, psi, f1, f2, jnp.asarray(step), True, tile)
+            np.testing.assert_allclose(
+                np.asarray(zn), zn_ref, rtol=0,
+                atol=1e-6 * np.abs(zn_ref).max(),
+                err_msg=f"zeta_new tile={tile} step={step}")
+            np.testing.assert_allclose(
+                np.asarray(filt), filt_ref, rtol=0,
+                atol=1e-6 * np.abs(filt_ref).max(),
+                err_msg=f"filtered tile={tile} step={step}")
+
+
+def test_fused_step_pre_fft_leapfrog():
+    """v3 kernel (also the v4 single-tile fallback) under leapfrog_ra."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_step_pre_fft
+
+    cfg = _cfg(M=64, P=128, time_scheme="leapfrog_ra")
+    zeta, psi = _rand((2, 64, 128), 63), _rand((2, 64, 128), 64)
+    f1 = _rand((2, 64, 128), 65)
+    f2 = jnp.full_like(f1, jnp.nan)
+    for step in (0, 3):
+        zn_ref, filt_ref = _leapfrog_refs(cfg, zeta, psi, f1, step)
+        zn, filt = fused_step_pre_fft(cfg, zeta, psi, f1, f2,
+                                      jnp.asarray(step), True)
+        np.testing.assert_allclose(np.asarray(zn), zn_ref, rtol=0,
+                                   atol=1e-6 * np.abs(zn_ref).max())
+        np.testing.assert_allclose(np.asarray(filt), filt_ref, rtol=0,
+                                   atol=1e-6 * np.abs(filt_ref).max())
+
+
+def test_fused_pre_inversion_leapfrog_single_layer():
+    """v2 kernel (the barotropic-preset path) under leapfrog_ra."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import fused_pre_inversion
+
+    cfg = _cfg(n_layers=1, time_scheme="leapfrog_ra")
+    zeta, psi = _rand((1, 64, 128), 66), _rand((1, 64, 128), 67)
+    f1 = _rand((1, 64, 128), 68)
+    f2 = jnp.full_like(f1, jnp.nan)
+    for step in (0, 3):
+        zn_ref, filt_ref = _leapfrog_refs(cfg, zeta, psi, f1, step)
+        zn, filt, modes = fused_pre_inversion(cfg, zeta, psi, f1, f2,
+                                              jnp.asarray(step), True)
+        np.testing.assert_allclose(np.asarray(zn), zn_ref, rtol=0,
+                                   atol=1e-6 * np.abs(zn_ref).max())
+        np.testing.assert_allclose(np.asarray(filt), filt_ref, rtol=0,
+                                   atol=1e-6 * np.abs(filt_ref).max())
+        np.testing.assert_array_equal(np.asarray(modes), np.asarray(zn))
+
+
+def test_wind_forcing_fused_kernels():
+    """All kernel generations include the double-gyre wind term on the top
+    layer. wind_tau0 is scaled so the wind row is O(1) against the tiny
+    stencil terms (visc/Jacobian scale like 1/dx^2 ~ 1e-10 here), making any
+    missing/wrong forcing visible. Tolerance 1e-5: the kernels evaluate the
+    f32 sin on the VPU vs the XLA path's float64-constant row."""
+    import jax.numpy as jnp
+    from tpu_qg.ops.pallas_tendency import (fused_pre_inversion,
+                                            fused_step_pre_fft,
+                                            fused_step_streamed,
+                                            fused_tendency)
+
+    cfg = _cfg(M=256, P=128, wind_tau0=1e12)
+    zeta, psi = _rand((2, 256, 128), 70), _rand((2, 256, 128), 71)
+    f1, f2 = _rand((2, 256, 128), 72), _rand((2, 256, 128), 73)
+
+    ref = np.asarray(_tendencies(cfg, zeta, psi))
+    tol = 1e-5 * np.abs(ref).max()
+    out = np.asarray(fused_tendency(cfg, zeta, psi, True))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=tol, err_msg="v1")
+
+    _, tend = fused_step_pre_fft(cfg, zeta, psi, f1, f2, jnp.asarray(5), True)
+    np.testing.assert_allclose(np.asarray(tend), ref, rtol=0, atol=tol,
+                               err_msg="v3")
+    _, tend = fused_step_streamed(cfg, zeta, psi, f1, f2, jnp.asarray(5),
+                                  True, 64)
+    np.testing.assert_allclose(np.asarray(tend), ref, rtol=0, atol=tol,
+                               err_msg="v4")
+    _, tend, _ = fused_pre_inversion(cfg, zeta, psi, f1, f2, jnp.asarray(5),
+                                     True)
+    np.testing.assert_allclose(np.asarray(tend), ref, rtol=0, atol=tol,
+                               err_msg="v2")
+
+    # Single-layer wind (the two-layer-256/barotropic presets' combination).
+    cfg1 = _cfg(n_layers=1, wind_tau0=1e12, time_scheme="leapfrog_ra")
+    zeta1, psi1 = _rand((1, 64, 128), 74), _rand((1, 64, 128), 75)
+    ref1 = np.asarray(_tendencies(cfg1, zeta1, psi1))
+    out1 = np.asarray(fused_tendency(cfg1, zeta1, psi1, True))
+    np.testing.assert_allclose(out1, ref1, rtol=0,
+                               atol=1e-5 * np.abs(ref1).max())

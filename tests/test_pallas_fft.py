@@ -56,9 +56,17 @@ def test_supported_predicate():
     assert pallas_fft_supported(128)
     assert pallas_fft_supported(256)
     assert pallas_fft_supported(2048)
-    assert not pallas_fft_supported(4096)   # N2 = 32 > 16
+    assert pallas_fft_supported(4096)       # N2 = 32: recursive small stage
+    assert pallas_fft_supported(8192)       # N2 = 64 (shape-supported; the
+    # 8192 x-kernel is still excluded by the VMEM fits check)
+    assert not pallas_fft_supported(16384)  # N2 = 128 > 64
     assert not pallas_fft_supported(192)    # N1 = 96 != 128
     assert not pallas_fft_supported(64)
+
+    from tpu_qg.ops.pallas_fft import planar_fft2_fits
+    assert planar_fft2_fits(2048, 2048)
+    assert planar_fft2_fits(4096, 4096)
+    assert not planar_fft2_fits(8192, 8192)  # x-kernel block alone is 8 MB
 
 
 def test_packed_inverter_matches_oracle():
@@ -97,3 +105,29 @@ def test_model_step_with_pallas_fft_matches_xla_fft():
     ref = run("xla")
     got = run("pallas")
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5 * np.abs(ref).max())
+
+
+def test_chunk_dft_matches_numpy():
+    """The recursive small-stage DFT (compile-time scalar weights over tile
+    pairs) equals numpy's FFT for composite, power-of-two, and prime sizes,
+    both signs, with the inverse scale."""
+    from tpu_qg.ops.pallas_fft import _chunk_dft
+
+    rng = np.random.default_rng(0)
+    for N in (1, 4, 7, 12, 16, 32, 64):
+        x = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+        # Tiles of shape (2, 3) so broadcasting paths are exercised.
+        tile = rng.standard_normal((2, 3))
+        pairs = [(x[s].real * tile, x[s].imag * tile) for s in range(N)]
+
+        out = _chunk_dft(pairs, -1)
+        want = np.fft.fft(x)
+        got = np.stack([r + 1j * i for r, i in out])
+        np.testing.assert_allclose(got, want[:, None, None] * tile,
+                                   rtol=1e-12, atol=1e-12)
+
+        out = _chunk_dft(pairs, +1, 1.0 / N)
+        want = np.fft.ifft(x)
+        got = np.stack([r + 1j * i for r, i in out])
+        np.testing.assert_allclose(got, want[:, None, None] * tile,
+                                   rtol=1e-12, atol=1e-12)

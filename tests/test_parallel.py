@@ -164,3 +164,53 @@ def test_sharded_output_stays_sharded():
     out = run(state, 4)
     spec = out.zeta.sharding.spec
     assert tuple(spec) == (None, "x", "y")
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_halo_overlap_matches_blocking(mesh_shape):
+    """The halo/compute-overlapped step (interior stencil concurrent with the
+    ppermutes, rim patched after — SURVEY section 7.7) is exactly equal to the
+    blocking step, and both match the single-device step to roundoff. M=P=64
+    so every mesh layout has tiles with a genuine interior (>= 8 wide)."""
+    from tpu_qg.parallel.stepper import make_halo_step_fn
+
+    cfg = small_cfg(M=64, P=64, wind_tau0=0.1)
+    psi0 = _psi_init(cfg)
+    ref = _per_mode_run(cfg, init_state(cfg, psi_init=psi0), 5)
+
+    mesh = make_mesh(mesh_shape)
+    step_block = make_halo_step_fn(cfg, mesh, donate=False, overlap=False)
+    step_over = make_halo_step_fn(cfg, mesh, donate=False, overlap=True)
+    sb = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    so = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(5):
+        sb, so = step_block(sb), step_over(so)
+    # Same expression per point, but XLA fuses/vectorizes the two programs
+    # differently -> agreement to a few f64 ulps, not bitwise.
+    bscale = np.abs(np.asarray(sb.zeta)).max()
+    np.testing.assert_allclose(np.asarray(so.zeta), np.asarray(sb.zeta),
+                               rtol=0, atol=1e-13 * bscale)
+    bpscale = np.abs(np.asarray(sb.psi)).max()
+    np.testing.assert_allclose(np.asarray(so.psi), np.asarray(sb.psi),
+                               rtol=0, atol=1e-13 * bpscale)
+    scale = np.abs(np.asarray(ref.zeta)).max()
+    np.testing.assert_allclose(np.asarray(so.zeta), np.asarray(ref.zeta),
+                               rtol=0, atol=1e-12 * scale)
+
+
+def test_halo_overlap_small_tile_fallback():
+    """Tiles too small for an interior (m or p < 8) silently use the blocking
+    exchange; results still match the single-device trajectory."""
+    from tpu_qg.parallel.stepper import make_halo_step_fn
+
+    cfg = small_cfg()          # M=P=32; (8,1) mesh -> 4-row tiles
+    psi0 = _psi_init(cfg)
+    ref = _per_mode_run(cfg, init_state(cfg, psi_init=psi0), 3)
+    mesh = make_mesh((8, 1))
+    step = make_halo_step_fn(cfg, mesh, donate=False, overlap=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    scale = np.abs(np.asarray(ref.zeta)).max()
+    np.testing.assert_allclose(np.asarray(s.zeta), np.asarray(ref.zeta),
+                               rtol=0, atol=1e-12 * scale)

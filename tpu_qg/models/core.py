@@ -204,10 +204,9 @@ def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):
 
 
 def _use_pallas(cfg: ModelConfig) -> bool:
+    """Fused kernels cover both time schemes (euler_ab3 and leapfrog_ra) and
+    the wind-forcing term since round 2; only shape/dtype support gates."""
     if not cfg.use_pallas or jax.default_backend() != "tpu":
-        return False
-    # The fused kernel bakes in the Euler->AB3 update and no wind term.
-    if cfg.time_scheme != "euler_ab3" or cfg.wind_tau0 != 0.0:
         return False
     from ..ops.pallas_tendency import pallas_supported
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))
@@ -226,11 +225,58 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
     solvers = _build_solvers(cfg, batched_fft)
     dt = cfg.dt
 
+    # Carry convention per scheme (shared by the fused-kernel and XLA paths):
+    #   euler_ab3:  f1 <- tendency of this step, f2 <- previous f1.
+    #   leapfrog_ra: f1 <- Robert-Asselin-filtered zeta of this level
+    #                (zeta_bar^n), f2 unused and carried through unchanged.
+    def _next_state(state: State, zeta_new, psi_new, carry) -> State:
+        if cfg.time_scheme == "leapfrog_ra":
+            return State(zeta_new, psi_new, carry, state.f2, state.step + 1)
+        return State(zeta_new, psi_new, carry, state.f1, state.step + 1)
+
+    if _use_pallas(cfg) and batched_fft:
+        from ..ops.spectral import PackedModalInverter
+
+        if isinstance(solvers, PackedModalInverter):
+            # v4 streamed kernel (tendency + time update for either scheme,
+            # shared-rotation stencils, double-buffered HBM input pipeline;
+            # falls back to v3 on single-tile grids) + the packed single-fft2
+            # inversion. The kernel has no modal output — projection and
+            # back-projection ride in the spectral symbols.
+            from ..ops.pallas_tendency import fused_step_streamed
+
+            def step(state: State) -> State:
+                zeta_new, carry = fused_step_streamed(
+                    cfg, state.zeta, state.psi, state.f1, state.f2,
+                    state.step)
+                psi_new = solvers(zeta_new)
+                return _next_state(state, zeta_new, psi_new, carry)
+
+            return step
+
+        # v2 fused path (single layer, or pin gauge): tendency + update +
+        # modal projection in one kernel, then batched solve + back-projection.
+        from ..ops.pallas_tendency import fused_pre_inversion
+
+        def step(state: State) -> State:
+            zeta_new, carry, modes = fused_pre_inversion(
+                cfg, state.zeta, state.psi, state.f1, state.f2, state.step)
+            pt = solvers(modes)
+            if cfg.n_layers == 1:
+                psi_new = pt
+            else:
+                (p11, p12), (p21, p22) = cfg.back_projection_matrix()
+                psi_new = jnp.stack([p11 * pt[0] + p12 * pt[1],
+                                     p21 * pt[0] + p22 * pt[1]])
+            return _next_state(state, zeta_new, psi_new, carry)
+
+        return step
+
     if cfg.time_scheme == "leapfrog_ra":
         # Leapfrog with Robert-Asselin filter (extension beyond the reference,
-        # for the BASELINE leapfrog configs). Carry convention: State.f1 holds
-        # the *filtered* zeta of the previous level (zeta_bar^{n-1}); f2 is
-        # unused. Step 0 is forward Euler with zeta_bar^{-1} := zeta^0.
+        # for the BASELINE leapfrog configs). State.f1 holds the *filtered*
+        # zeta of the previous level (zeta_bar^{n-1}); f2 is unused. Step 0 is
+        # forward Euler with zeta_bar^{-1} := zeta^0.
         ra = cfg.ra_filter
 
         def step(state: State) -> State:
@@ -243,47 +289,7 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
             zeta_filt = state.zeta + ra * (zeta_prev_f - 2.0 * state.zeta
                                            + zeta_new)
             psi_new = _invert_psi(cfg, solvers, zeta_new)
-            return State(zeta_new, psi_new, zeta_filt, state.f2,
-                         state.step + 1)
-
-        return step
-
-    if _use_pallas(cfg) and batched_fft:
-        from ..ops.spectral import PackedModalInverter
-
-        if isinstance(solvers, PackedModalInverter):
-            # v4 streamed kernel (tendency + Euler/AB3, shared-rotation
-            # stencils, double-buffered HBM input pipeline; falls back to v3
-            # on single-tile grids) + the packed single-fft2 inversion. The
-            # kernel has no modal output — projection and back-projection
-            # ride in the spectral symbols.
-            from ..ops.pallas_tendency import fused_step_streamed
-
-            def step(state: State) -> State:
-                zeta_new, tend = fused_step_streamed(
-                    cfg, state.zeta, state.psi, state.f1, state.f2,
-                    state.step)
-                psi_new = solvers(zeta_new)
-                return State(zeta_new, psi_new, tend, state.f1,
-                             state.step + 1)
-
-            return step
-
-        # v2 fused path (single layer, or pin gauge): tendency + update +
-        # modal projection in one kernel, then batched solve + back-projection.
-        from ..ops.pallas_tendency import fused_pre_inversion
-
-        def step(state: State) -> State:
-            zeta_new, tend, modes = fused_pre_inversion(
-                cfg, state.zeta, state.psi, state.f1, state.f2, state.step)
-            pt = solvers(modes)
-            if cfg.n_layers == 1:
-                psi_new = pt
-            else:
-                (p11, p12), (p21, p22) = cfg.back_projection_matrix()
-                psi_new = jnp.stack([p11 * pt[0] + p12 * pt[1],
-                                     p21 * pt[0] + p22 * pt[1]])
-            return State(zeta_new, psi_new, tend, state.f1, state.step + 1)
+            return _next_state(state, zeta_new, psi_new, zeta_filt)
 
         return step
 

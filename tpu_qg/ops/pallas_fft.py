@@ -77,9 +77,11 @@ def _footprint(block_bytes: int, N2: int) -> int:
 
 
 def pallas_fft_supported(N: int) -> bool:
-    """The fused kernel handles N = 128 * N2 with N2 in [1, 16]."""
+    """The fused kernel handles N = 128 * N2 with N2 in [1, 64] (the small
+    stage factors recursively, so per-element VPU work grows like the sum of
+    N2's radix factors, not N2 itself)."""
     n1, n2 = split_factor(N)
-    return n1 == _N1 and 1 <= n2 <= 16
+    return n1 == _N1 and 1 <= n2 <= 64
 
 
 def planar_fft2_fits(M: int, P: int) -> bool:
@@ -130,22 +132,49 @@ def _plan(N: int, axis: str, inverse: bool):
     return N2, F2, Gr, Gi
 
 
-def _small_stage(chunks_r, chunks_i, F2, b):
-    """Destination block b of the small stage: sum of scalar-weighted chunks.
-
-    chunks_*[s] are (rows, N1) f32 views; F2[b, s] the complex weights.
-    Pure VPU: 4*N2 fused multiply-adds per block.
-    """
+def _wsum(pairs, weights):
+    """Scalar-complex-weighted sum of (real, imag) tile pairs on the VPU."""
     sr = si = None
-    for s in range(len(chunks_r)):
-        cr, ci = chunks_r[s], chunks_i[s]
-        wr = float(F2[b, s].real)
-        wi = float(F2[b, s].imag)
+    for (cr, ci), w in zip(pairs, weights):
+        wr, wi = float(w.real), float(w.imag)
         tr = cr * wr - ci * wi
         ti = cr * wi + ci * wr
         sr = tr if sr is None else sr + tr
         si = ti if si is None else si + ti
     return sr, si
+
+
+# Largest radix evaluated naively (O(radix^2) scalar FMAs); composites above
+# this split recursively. 8 balances FMA count against live-value pressure.
+_NAIVE_RADIX = 8
+
+
+def _chunk_dft(pairs, sign: int, scale: float = 1.0):
+    """All N outputs of the N-point DFT over a list of (real, imag) tile
+    pairs, with compile-time scalar weights W_N^{sign*d*s} * scale.
+
+    Recursive decimation-in-time: N = A*B splits into A interleaved B-point
+    DFTs plus an N*A-term combine, so per-element VPU work is
+    sum-of-radix-factors (e.g. 8 complex FMAs at N=16, 16 at N=64) instead of
+    the naive N. The scale rides on the top-level combine weights only.
+    """
+    N = len(pairs)
+    if N == 1:
+        (cr, ci) = pairs[0]
+        return [(cr * scale, ci * scale)] if scale != 1.0 else [pairs[0]]
+    A = next((a for a in range(2, _NAIVE_RADIX + 1) if N % a == 0), None)
+    if N <= _NAIVE_RADIX or A is None:
+        # Naive for small N, or N with no small factor (prime-ish).
+        W = scale * np.exp(sign * 2j * np.pi
+                           * np.outer(np.arange(N), np.arange(N)) / N)
+        return [_wsum(pairs, W[d]) for d in range(N)]
+    B = N // A
+    subs = [_chunk_dft(pairs[a::A], sign) for a in range(A)]
+    out = []
+    for k in range(N):
+        w = scale * np.exp(sign * 2j * np.pi * np.arange(A) * k / N)
+        out.append(_wsum([subs[a][k % B] for a in range(A)], w))
+    return out
 
 
 def _cdot(ar, ai, br_c, bi_c, left: bool):
@@ -175,12 +204,12 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
     def kernel(gr_ref, gi_ref, x_ref, o_ref):
         xr, xi = x_ref[0], x_ref[1]
         if not inverse:
-            # small stage (chunks of the natural-order input) -> MXU stage
-            # (twiddle folded into the per-block matrix).
-            chunks_r = [blk(xr, s) for s in range(N2)]
-            chunks_i = [blk(xi, s) for s in range(N2)]
+            # small stage (recursive DFT over the natural-order chunks) ->
+            # MXU stage (twiddle folded into the per-block matrix).
+            pairs = [(blk(xr, s), blk(xi, s)) for s in range(N2)]
+            smalls = _chunk_dft(pairs, -1)
             for b in range(N2):
-                sr, si = _small_stage(chunks_r, chunks_i, F2, b)
+                sr, si = smalls[b]
                 orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b],
                                  left=(axis == "x"))
                 if axis == "y":
@@ -191,15 +220,15 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
                     o_ref[1, b * _N1:(b + 1) * _N1, :] = oii
         else:
             # MXU stage per permuted block (twiddle folded in) -> small stage
-            # back to natural order.
-            chunks_r, chunks_i = [], []
-            for c in range(N2):
-                vr, vi = _cdot(blk(xr, c), blk(xi, c), gr_ref[c], gi_ref[c],
-                               left=(axis == "x"))
-                chunks_r.append(vr)
-                chunks_i.append(vi)
+            # (inverse recursive DFT, scaled 1/N2) back to natural order.
+            pairs = [
+                _cdot(blk(xr, c), blk(xi, c), gr_ref[c], gi_ref[c],
+                      left=(axis == "x"))
+                for c in range(N2)
+            ]
+            outs = _chunk_dft(pairs, +1, 1.0 / N2)
             for b in range(N2):
-                sr, si = _small_stage(chunks_r, chunks_i, F2, b)
+                sr, si = outs[b]
                 if axis == "y":
                     o_ref[0, :, b * _N1:(b + 1) * _N1] = sr
                     o_ref[1, :, b * _N1:(b + 1) * _N1] = si

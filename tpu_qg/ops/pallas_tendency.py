@@ -21,6 +21,7 @@ Strategy (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,50 @@ def _lap_rows(u: Array, r0: int, rows: int, inv_dx2: float) -> Array:
 # (del^4), but Mosaic requires 8-aligned (f32 sublane tiling) offsets and
 # sizes for memref slices and DMA windows, so the halo is padded to 8.
 _H = 8
+
+
+def _wind_rows(cfg: ModelConfig, T: int, P: int) -> Array:
+    """Double-gyre wind PV forcing over a (T, P) tile, computed in-VMEM.
+
+    Same F(y) = -(2 pi tau_0 / (rho_0 H_1 Ly)) sin(2 pi y / Ly) as
+    models.core._wind_forcing (y = lane index * dx, constant along x), built
+    from a lane iota so the kernel needs no extra operand; f32 sin on the VPU
+    agrees with the XLA path's float64-constant row to ~1e-7 relative.
+    """
+    amp = 2.0 * math.pi * cfg.wind_tau0 / (cfg.rho0 * cfg.H_1 * cfg.Ly)
+    coef = 2.0 * math.pi * cfg.dx / cfg.Ly
+    # Mosaic's tpu.iota is integer-only; build int32 and convert.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1).astype(jnp.float32)
+    return -amp * jnp.sin(coef * lane)
+
+
+def _wind_layer(cfg: ModelConfig, layer: int) -> bool:
+    """Wind forcing applies to the single layer or the top of two."""
+    return cfg.wind_tau0 != 0.0 and (cfg.n_layers == 1 or layer == 0)
+
+
+def _apply_update(cfg: ModelConfig, step_ref, tend: Array, zc: Array,
+                  f1_t: Array, f2_t) -> tuple:
+    """One layer's time update: (zeta_new, carry2) under cfg.time_scheme.
+
+    euler_ab3 (reference: src/model.jl:155-170): Euler for steps 0-1 then
+    AB3; carry2 is the tendency (the AB3 history entry). leapfrog_ra: f1_t
+    holds the Robert-Asselin-filtered zeta^{n-1}, f2_t is unused (may be
+    None); carry2 is the filtered current level. Mirrors the XLA branches in
+    models.core.make_step_fn exactly.
+    """
+    dt = cfg.dt
+    if cfg.time_scheme == "leapfrog_ra":
+        is_first = step_ref[0] == 0
+        zpf = jnp.where(is_first, zc, f1_t)
+        zn = jnp.where(is_first, zc + dt * tend, zpf + 2.0 * dt * tend)
+        filt = zc + cfg.ra_filter * (zpf - 2.0 * zc + zn)
+        return zn, filt
+    is_euler = step_ref[0] < 2
+    ab3 = dt * ((23.0 / 12.0) * tend - (16.0 / 12.0) * f1_t
+                + (5.0 / 12.0) * f2_t)
+    zn = zc + jnp.where(is_euler, dt * tend, ab3)
+    return zn, tend
 
 
 def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
@@ -155,6 +200,8 @@ def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
             # Layer 2: bottom drag (reference: src/model.jl:151).
             tend = tend - cfg.r * lap_psi
 
+        if _wind_layer(cfg, layer):
+            tend = tend + _wind_rows(cfg, T, out_ref.shape[-1])
         out_ref[layer] = tend
 
 
@@ -227,7 +274,6 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     L = tend_ref.shape[0]
     dx = cfg.dx
     inv_dx2 = 1.0 / (dx * dx)
-    dt = cfg.dt
 
     def fetch_center(hbm, vmem, sem):
         cp = pltpu.make_async_copy(
@@ -287,8 +333,9 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
             cp_bot.wait()
 
     # Start the halo-free history fetches, then the halo fetches (which wait).
+    has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
     cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
-    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5])
+    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5]) if has_f2 else None
     fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
     fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
 
@@ -315,24 +362,22 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
             tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
         else:
             tend = tend - cfg.r * lap_psi
+        if _wind_layer(cfg, layer):
+            tend = tend + _wind_rows(cfg, T, tend.shape[-1])
         tends.append(tend)
-        tend_ref[layer] = tend
 
     cp_f1.wait()
-    cp_f2.wait()
-    is_euler = step_ref[0] < 2
+    if has_f2:
+        cp_f2.wait()
     z_new = []
     for layer in range(L):
         f1_t = f1_vmem[layer][:]
-        f2_t = f2_vmem[layer][:]
-        ab3 = dt * ((23.0 / 12.0) * tends[layer]
-                    - (16.0 / 12.0) * f1_t + (5.0 / 12.0) * f2_t)
-        euler = dt * tends[layer]
-        upd = jnp.where(is_euler, euler, ab3)
+        f2_t = f2_vmem[layer][:] if has_f2 else None
         zc = zeta_vmem[layer][:][_H:_H + T, :]
-        zn = zc + upd
+        zn, carry = _apply_update(cfg, step_ref, tends[layer], zc, f1_t, f2_t)
         z_new.append(zn)
         zeta_new_ref[layer] = zn
+        tend_ref[layer] = carry
 
     # Modal projection (reference: src/model.jl:179-182) fused in.
     if cfg.n_layers == 1:
@@ -401,6 +446,8 @@ def _layer_tendency_shared(cfg: ModelConfig, T: int, layer: int,
     else:
         # Layer 2: bottom drag (reference: src/model.jl:151).
         tend = tend - cfg.r * lap_psi
+    if _wind_layer(cfg, layer):
+        tend = tend + _wind_rows(cfg, T, tend.shape[-1])
     return tend
 
 
@@ -414,7 +461,6 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
-    dt = cfg.dt
 
     def fetch_center(hbm, vmem, sem):
         cp = pltpu.make_async_copy(
@@ -471,8 +517,9 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
             cp_body.wait()
             cp_bot.wait()
 
+    has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
     cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
-    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5])
+    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5]) if has_f2 else None
     fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
     fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
 
@@ -481,19 +528,17 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
                                psi_vmem[layer][:])
         for layer in range(L)
     ]
-    for layer in range(L):
-        tend_ref[layer] = tends[layer]
 
     cp_f1.wait()
-    cp_f2.wait()
-    is_euler = step_ref[0] < 2
+    if has_f2:
+        cp_f2.wait()
     for layer in range(L):
-        ab3 = dt * ((23.0 / 12.0) * tends[layer]
-                    - (16.0 / 12.0) * f1_vmem[layer][:]
-                    + (5.0 / 12.0) * f2_vmem[layer][:])
-        euler = dt * tends[layer]
+        f1_t = f1_vmem[layer][:]
+        f2_t = f2_vmem[layer][:] if has_f2 else None
         zc = zeta_vmem[layer][:][_H:_H + T, :]
-        zeta_new_ref[layer] = zc + jnp.where(is_euler, euler, ab3)
+        zn, carry = _apply_update(cfg, step_ref, tends[layer], zc, f1_t, f2_t)
+        zeta_new_ref[layer] = zn
+        tend_ref[layer] = carry
 
 
 def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
@@ -548,7 +593,6 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
-    dt = cfg.dt
 
     def halo_ops(j, slot, fld):
         hbm, buf = (zeta_hbm, zeta_buf) if fld == 0 else (psi_hbm, psi_buf)
@@ -562,9 +606,14 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
             hbm.at[:, pl.ds(pl.multiple_of(j * T, 8), T), :],
             buf.at[slot], sems.at[slot, 4 + fld])])]
 
+    has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
+
     def all_ops(j, slot):
-        return (halo_ops(j, slot, 0) + halo_ops(j, slot, 1)
-                + center_ops(j, slot, 0) + center_ops(j, slot, 1))
+        ops = (halo_ops(j, slot, 0) + halo_ops(j, slot, 1)
+               + center_ops(j, slot, 0))
+        if has_f2:
+            ops += center_ops(j, slot, 1)
+        return ops
 
     def _foreach(j, slot, action):
         # Descriptors are (re)built lazily inside each taken branch — the same
@@ -607,17 +656,14 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
                                load(psi_buf, layer))
         for layer in range(L)
     ]
-    for layer in range(L):
-        tend_ref[layer] = tends[layer]
 
-    is_euler = step_ref[0] < 2
     for layer in range(L):
-        ab3 = dt * ((23.0 / 12.0) * tends[layer]
-                    - (16.0 / 12.0) * load(f1_buf, layer)
-                    + (5.0 / 12.0) * load(f2_buf, layer))
-        euler = dt * tends[layer]
+        f1_t = load(f1_buf, layer)
+        f2_t = load(f2_buf, layer) if has_f2 else None
         zc = load(zeta_buf, layer)[_H:_H + T, :]
-        zeta_new_ref[layer] = zc + jnp.where(is_euler, euler, ab3)
+        zn, carry = _apply_update(cfg, step_ref, tends[layer], zc, f1_t, f2_t)
+        zeta_new_ref[layer] = zn
+        tend_ref[layer] = carry
 
 
 def _pick_tile_v4(M: int, P: int, L: int, itemsize: int) -> int:

@@ -22,38 +22,97 @@ from .distributed_fft import DistributedHelmholtzSolver
 from .halo import exchange_halo, make_padded_shift
 
 
-def _local_tendencies(cfg: ModelConfig, zeta, psi, ax: str, ay: str):
-    """Per-layer RHS on local tiles (reference: src/model.jl:139-153), with
-    halo exchange instead of ghost rings."""
+def _tend_window(cfg: ModelConfig, zeta_w, psi_w, wind_row):
+    """Tendency over one window from halo-carrying slabs: zeta_w (L, q+2, r+2)
+    with a 1-deep rim, psi_w (L, q+4, r+4) with a 2-deep rim (the del^4 term)
+    -> (L, q, r). wind_row is the window's (1, r) forcing slice or None. The
+    windowed form serves both the blocking path (one full-tile window) and the
+    overlapped path (interior + four rim windows) with identical arithmetic
+    per point (reference: src/model.jl:139-153)."""
     dx = cfg.dx
-    dtype = zeta.dtype
+    dtype = zeta_w.dtype
     s1 = make_padded_shift(1)
+    psi_w1 = psi_w[..., 1:-1, 1:-1]                     # (L, q+2, r+2)
 
-    zeta_pad = exchange_halo(zeta, 1, ax, ay)       # (L, m+2, p+2)
-    psi_pad2 = exchange_halo(psi, 2, ax, ay)        # (L, m+4, p+4)
-    psi_pad1 = psi_pad2[..., 1:-1, 1:-1]            # (L, m+2, p+2)
-
-    lap_psi_1h = laplace_5p_generic(s1, psi_pad2, dx)   # (L, m+2, p+2), 1-halo
-    visc_term = cfg.visc * laplace_5p_generic(s1, lap_psi_1h, dx)  # (L, m, p)
-    lap_psi = lap_psi_1h[..., 1:-1, 1:-1]               # (L, m, p)
-    jac = arakawa_J_generic(s1, zeta_pad, psi_pad1, dx)
-    dpsi_dx = centered_diff_x_generic(s1, psi_pad1, dx)
+    lap_psi_1h = laplace_5p_generic(s1, psi_w, dx)      # (L, q+2, r+2)
+    visc_term = cfg.visc * laplace_5p_generic(s1, lap_psi_1h, dx)  # (L, q, r)
+    lap_psi = lap_psi_1h[..., 1:-1, 1:-1]               # (L, q, r)
+    jac = arakawa_J_generic(s1, zeta_w, psi_w1, dx)
+    dpsi_dx = centered_diff_x_generic(s1, psi_w1, dx)
 
     if cfg.n_layers == 1:
-        u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad, dx)
+        u_term = cfg.U * centered_diff_x_generic(s1, zeta_w, dx)
         tend = visc_term - jac - cfg.beta * dpsi_dx - u_term - cfg.r * lap_psi
-        if cfg.wind_tau0 != 0.0:
-            tend = tend + _local_wind_forcing(cfg, tend.dtype, ay)[None]
+        if wind_row is not None:
+            tend = tend + wind_row[None]
         return tend
 
     betas = jnp.asarray([cfg.beta_1, cfg.beta_2], dtype)[:, None, None]
-    u_term = cfg.U * centered_diff_x_generic(s1, zeta_pad[0], dx)
+    u_term = cfg.U * centered_diff_x_generic(s1, zeta_w[0], dx)
     drag = cfg.r * lap_psi[1]
     extra = jnp.stack([u_term, drag])
     tend = visc_term - jac - betas * dpsi_dx - extra
-    if cfg.wind_tau0 != 0.0:
-        tend = tend.at[0].add(_local_wind_forcing(cfg, dtype, ay))
+    if wind_row is not None:
+        tend = tend.at[0].add(wind_row)
     return tend
+
+
+def _local_tendencies(cfg: ModelConfig, zeta, psi, ax: str, ay: str):
+    """Per-layer RHS on local tiles (reference: src/model.jl:139-153), with
+    halo exchange instead of ghost rings. Blocking form: both exchanges
+    complete before any stencil work (the equality oracle for the overlapped
+    form below)."""
+    wind = (_local_wind_forcing(cfg, zeta.dtype, ay)
+            if cfg.wind_tau0 != 0.0 else None)
+    zeta_pad = exchange_halo(zeta, 1, ax, ay)       # (L, m+2, p+2)
+    psi_pad2 = exchange_halo(psi, 2, ax, ay)        # (L, m+4, p+4)
+    return _tend_window(cfg, zeta_pad, psi_pad2, wind)
+
+
+def _local_tendencies_overlapped(cfg: ModelConfig, zeta, psi, ax: str, ay: str):
+    """Halo/compute-overlapped RHS (SURVEY.md section 7.7).
+
+    The ppermute exchanges are issued, but the tile INTERIOR (all points at
+    least 2 in from the tile edge — the stencil radius) depends only on local
+    data, so XLA's latency-hiding scheduler runs the collectives concurrently
+    with the interior stencil sweep; only the four rim windows consume the
+    exchanged slabs. Identical results to _local_tendencies: every point is
+    computed by the same elementwise expression on the same values (the
+    distributed analog of overlapping the reference's ghost-ring refresh,
+    src/schemes/boundary_conditions.jl:1-13, with interior work).
+
+    Falls back to the blocking form when the tile is too small to have an
+    interior (m or p < 8).
+    """
+    m, p = zeta.shape[-2], zeta.shape[-1]
+    if m < 8 or p < 8:
+        return _local_tendencies(cfg, zeta, psi, ax, ay)
+
+    wind = (_local_wind_forcing(cfg, zeta.dtype, ay)
+            if cfg.wind_tau0 != 0.0 else None)
+
+    def wslice(c, d):
+        return None if wind is None else wind[:, c:d]
+
+    zeta_pad = exchange_halo(zeta, 1, ax, ay)       # (L, m+2, p+2)
+    psi_pad2 = exchange_halo(psi, 2, ax, ay)        # (L, m+4, p+4)
+
+    # Interior window [2, m-2) x [2, p-2): the tile's own rim is the halo.
+    tend_int = _tend_window(cfg, zeta[..., 1:-1, 1:-1], psi, wslice(2, p - 2))
+
+    def rim(a, b, c, d):
+        """Tendency over tile window [a, b) x [c, d) from the padded slabs
+        (tile row i sits at padded index i+1 for zeta, i+2 for psi)."""
+        zw = zeta_pad[..., a:b + 2, c:d + 2]
+        pw = psi_pad2[..., a:b + 4, c:d + 4]
+        return _tend_window(cfg, zw, pw, wslice(c, d))
+
+    top = rim(0, 2, 0, p)                           # (L, 2, p)
+    bot = rim(m - 2, m, 0, p)                       # (L, 2, p)
+    left = rim(2, m - 2, 0, 2)                      # (L, m-4, 2)
+    right = rim(2, m - 2, p - 2, p)                 # (L, m-4, 2)
+    mid = jnp.concatenate([left, tend_int, right], axis=-1)   # (L, m-4, p)
+    return jnp.concatenate([top, mid, bot], axis=-2)          # (L, m, p)
 
 
 def _local_wind_forcing(cfg: ModelConfig, dtype, ay: str):
@@ -71,12 +130,20 @@ def _local_wind_forcing(cfg: ModelConfig, dtype, ay: str):
     return lax.dynamic_slice(full, (j * p_local,), (p_local,))[None, :]
 
 
-def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
-    """Jitted sharded step using explicit halo exchange + distributed FFTs."""
+def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
+                      overlap: bool = True):
+    """Jitted sharded step using explicit halo exchange + distributed FFTs.
+
+    ``overlap=True`` (default) computes the tile interior concurrently with
+    the ppermute halo exchanges; ``overlap=False`` keeps the blocking form
+    (the equality oracle). Both produce identical results.
+    """
     ax, ay = mesh.axis_names
     nx, ny = mesh.devices.shape
     m, p = cfg.M // nx, cfg.P // ny
     assert m * nx == cfg.M and p * ny == cfg.P, "grid must divide the mesh"
+    tendencies = (_local_tendencies_overlapped if overlap
+                  else _local_tendencies)
 
     if cfg.n_layers == 1:
         solver = DistributedHelmholtzSolver(cfg.M, cfg.P, cfg.dx, (0.0,), ax, ay)
@@ -88,7 +155,7 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
     dt = cfg.dt
 
     def local_step(state: State) -> State:
-        tend = _local_tendencies(cfg, state.zeta, state.psi, ax, ay)
+        tend = tendencies(cfg, state.zeta, state.psi, ax, ay)
         if cfg.time_scheme == "leapfrog_ra":
             # Leapfrog + Robert-Asselin (see models.core for the convention:
             # f1 carries the filtered previous level).
@@ -131,13 +198,13 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True):
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh):
+def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh, overlap: bool = True):
     """Returns ``run(state, n) -> state``: n halo-path steps under one
     ``lax.scan`` (shard_map composes inside scan), compiled once per n."""
     import functools
 
     # make_halo_step_fn returns a jitted fn; jit-of-jit composes under scan.
-    step = make_halo_step_fn(cfg, mesh, donate=False)
+    step = make_halo_step_fn(cfg, mesh, donate=False, overlap=overlap)
 
     @functools.lru_cache(maxsize=None)
     def compiled(n: int):
