@@ -131,3 +131,30 @@ def test_chunk_dft_matches_numpy():
         got = np.stack([r + 1j * i for r, i in out])
         np.testing.assert_allclose(got, want[:, None, None] * tile,
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_fused_symbol_inverse_matches_unfused():
+    """The symbol stage fused into the inverse-x kernel (negate-spectrum via
+    mirror-strip BlockSpec + 0/1 permutation dots) equals the XLA-level
+    symbol path, on square and non-square grids."""
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    for (M, P) in ((256, 256), (256, 512), (384, 256)):
+        cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM,
+                          Ly=4000.0 * KM * P / M,
+                          dt=60.0, T=3600.0, dtype="float32")
+        args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                cfg.back_projection_matrix())
+        rng = np.random.default_rng(7)
+        zeta = jnp.asarray(rng.standard_normal((2, M, P)), jnp.float32)
+        fused = PackedModalInverterPallasFFT(*args, interpret=True)
+        plain = PackedModalInverterPallasFFT(*args, interpret=True,
+                                             fuse_symbols=False)
+        assert fused._fuse and not plain._fuse
+        got = np.asarray(fused(zeta))
+        ref = np.asarray(plain(zeta))
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=2e-6 * np.abs(ref).max(),
+                                   err_msg=f"{(M, P)}")

@@ -97,6 +97,16 @@ def planar_fft2_fits(M: int, P: int) -> bool:
     return y_min <= _VMEM_TARGET and x_min <= _VMEM_TARGET
 
 
+def symbol_inverse_fits(M: int, P: int) -> bool:
+    """Scoped-VMEM bound for the fused symbol+inverse-x kernel: per 128-column
+    strip it holds wj, wm, out (2 strips each), 4 symbol strips — double
+    buffered — plus the lane-negated mirror, the live MXU chunk pairs and
+    small-stage outputs (~6 strip-equivalents) and the G constants."""
+    strip = M * _N1 * 4
+    g_plane = (M // _N1) * _N1 * _N1 * 4
+    return 26 * strip + 4 * g_plane <= _VMEM_TARGET
+
+
 def _plan(N: int, axis: str, inverse: bool):
     """Numpy constants for one transform direction.
 
@@ -239,6 +249,84 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
     return kernel
 
 
+def _perm_matrices():
+    """The two 128x128 lane/sublane negation matrices as exact 0/1 f32
+    constants built from integer iotas (Mosaic's tpu.iota is integer-only):
+    Jflip for blocks k2 > 0 (k1 -> N1-1-k1) and Jroll for the k2 == 0 block
+    (k1 -> (-k1) % N1). Both are symmetric, so one matrix serves row
+    (left-multiply) and column (right-multiply) permutation. Permutation
+    matmuls are exact at any precision: each output element is a sum with a
+    single nonzero product of a 0/1 weight."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 1)
+    jflip = (r + c == _N1 - 1).astype(jnp.float32)
+    jroll = ((r + c) % _N1 == 0).astype(jnp.float32)
+    return jflip, jroll
+
+
+def _build_symbol_inv_x_kernel(M: int):
+    """Inverse-x kernel with the packed-inversion symbol stage fused in.
+
+    Operands (per 128-column strip j of the permuted spectrum W):
+      gr, gi — twiddle-folded inverse MXU matrices (as _build_kernel);
+      wj     — W strip j (2, M, 128);
+      wm     — W strip (N2y - j) % N2y, the strip holding the y-negated
+               frequencies (the negation maps 128-blocks to 128-blocks);
+      ar, ai, br, bi — the inversion symbols A(k), B(k) restricted to strip j
+               ((M, 128) f32 planes, permuted order).
+    Body: lane-permute wm (y-negation within the block), then per x-row-block
+    c: sublane-permute the mirror row block (x-negation), form
+    V = A W + B conj(W(-k)) pointwise, and feed straight into the inverse MXU
+    stage + recursive small stage. Replaces the XLA-level negate_spectrum +
+    symbol multiply (ops/spectral.py PackedModalInverter.__call__), saving
+    two full-field HBM round-trips per inversion.
+    """
+    N2, _, _, _ = _plan(M, "x", True)
+    pdot = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                             preferred_element_type=jnp.float32)
+
+    def kernel(gr_ref, gi_ref, wj_ref, wm_ref, ar_ref, ai_ref, br_ref,
+               bi_ref, o_ref):
+        j = pl.program_id(0)
+        jflip, jroll = _perm_matrices()
+        # y-direction (lane) negation of the mirror strip: strip 0 is its own
+        # mirror and uses the roll-flip mapping, all others plain flip.
+        jlane = jnp.where(j == 0, jroll, jflip)
+        wmr = pdot(wm_ref[0], jlane)        # (M, 128), lanes permuted
+        wmi = pdot(wm_ref[1], jlane)
+
+        wjr, wji = wj_ref[0], wj_ref[1]
+        ar, ai = ar_ref[:], ai_ref[:]
+        br, bi = br_ref[:], bi_ref[:]
+
+        def blk(a, c):
+            return a[c * _N1:(c + 1) * _N1, :]
+
+        pairs = []
+        for c in range(N2):
+            # x-direction (sublane) negation: dest row-block c sources block
+            # (-c) % N2 with an intra-block flip (roll-flip for block 0).
+            r = (-c) % N2
+            jrow = jroll if c == 0 else jflip
+            wnr = pdot(jrow, blk(wmr, r))
+            wni = pdot(jrow, blk(wmi, r))
+            # V = A W + B conj(W(-k)) on the planes (same expansion as
+            # ops/spectral.py PackedModalInverterPallasFFT.__call__).
+            wr_, wi_ = blk(wjr, c), blk(wji, c)
+            arb, aib, brb, bib = blk(ar, c), blk(ai, c), blk(br, c), blk(bi, c)
+            vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
+            vi = aib * wr_ + arb * wi_ + bib * wnr - brb * wni
+            pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True))
+
+        outs = _chunk_dft(pairs, +1, 1.0 / N2)
+        for b in range(N2):
+            sr, si = outs[b]
+            o_ref[0, b * _N1:(b + 1) * _N1, :] = sr
+            o_ref[1, b * _N1:(b + 1) * _N1, :] = si
+
+    return kernel
+
+
 def _pick_rows(M: int, P: int) -> int:
     """Row-tile size for the y-kernel: largest divisor of M (multiple of 8,
     <= 256) whose honest footprint stays under the scoped-VMEM target."""
@@ -289,6 +377,7 @@ class PlanarFFT2:
             _, _, grx, gix = _plan(M, "x", inv)
             self._G[("y", inv)] = (jnp.asarray(gry), jnp.asarray(giy))
             self._G[("x", inv)] = (jnp.asarray(grx), jnp.asarray(gix))
+        self._kern_sym_x = _build_symbol_inv_x_kernel(M)
 
     def _call_y(self, z: Array, inverse: bool) -> Array:
         M, P, R = self.M, self.P, self._R
@@ -324,6 +413,31 @@ class PlanarFFT2:
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, z)
 
+    def _call_x_symbols(self, Z: Array, syms) -> Array:
+        """Fused symbol multiply + inverse-x transform: one kernel computing
+        ifft_x(A * W + B * conj(W(-k))) per 128-column strip, with the mirror
+        strip delivered by the BlockSpec index map."""
+        M, P = self.M, self.P
+        gr, gi = self._G[("x", True)]
+        n2x = gr.shape[0]
+        n2y = P // _N1
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j: (0, 0, 0))
+        wspec = pl.BlockSpec((2, M, _N1), lambda j: (0, 0, j))
+        mspec = pl.BlockSpec((2, M, _N1), lambda j: (0, 0, (n2y - j) % n2y))
+        sspec = pl.BlockSpec((M, _N1), lambda j: (0, j))
+        ar, ai, br, bi = (jnp.asarray(s) for s in syms)
+        return pl.pallas_call(
+            self._kern_sym_x,
+            grid=(n2y,),
+            in_specs=[gspec, gspec, wspec, mspec,
+                      sspec, sspec, sspec, sspec],
+            out_specs=pl.BlockSpec((2, M, _N1), lambda j: (0, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), Z.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(gr, gi, Z, Z, ar, ai, br, bi)
+
     def forward(self, z: Array) -> Array:
         """Planar (2, M, P) natural order -> planar permuted spectrum."""
         return self._call_x(self._call_y(z, False), False)
@@ -331,3 +445,10 @@ class PlanarFFT2:
     def inverse(self, Z: Array) -> Array:
         """Planar permuted spectrum -> planar natural order (scaled 1/MP)."""
         return self._call_y(self._call_x(Z, True), True)
+
+    def inverse_with_symbols(self, Z: Array, syms) -> Array:
+        """Planar permuted spectrum W -> ifft2(A W + B conj(W(-k))), natural
+        order: the packed modal inversion's entire spectral stage fused into
+        the inverse-x kernel. ``syms`` = (Ar, Ai, Br, Bi) permuted-order
+        (M, P) f32 planes."""
+        return self._call_y(self._call_x_symbols(Z, syms), True)

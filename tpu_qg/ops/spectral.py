@@ -244,16 +244,38 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
     read/write), and the field stays PLANAR float32 end to end — the packed
     (zeta_1, zeta_2) stack IS the planar complex field, so no complex dtype,
     no pack/unpack, appears anywhere. Same permuted spectral order, symbols,
-    and zero-mean gauge as the MXU parent."""
+    and zero-mean gauge as the MXU parent.
+
+    When the VMEM bound admits it (``fuse_symbols=True``, the default), the
+    spectral stage V = A W + B conj(W(-k)) — including the negate-spectrum
+    permutation — is fused into the inverse-x kernel, so the whole inversion
+    is exactly FOUR kernel HBM passes; otherwise the symbol stage runs at the
+    XLA level between the kernels (kept as the equality oracle)."""
 
     def __init__(self, M: int, P: int, dx: float, alpha2: float,
-                 P_inv, P_back, interpret: bool = False):
+                 P_inv, P_back, interpret: bool = False,
+                 fuse_symbols: bool = True):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
-        from .pallas_fft import PlanarFFT2
+        from .pallas_fft import PlanarFFT2, symbol_inverse_fits
         self._pfft = PlanarFFT2(M, P, interpret=interpret)
+        self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
+        if self._fuse:
+            # Permuted-order symbol planes, built once in float64 numpy.
+            lam = self.lam_x[:, None] + self.lam_y[None, :]
+            inv1 = np.where(lam == 0.0, 0.0,
+                            1.0 / np.where(lam == 0.0, 1.0, lam))
+            inv2 = 1.0 / (lam + self.alpha2)
+            A = self.a1 * inv1 + self.a2 * inv2
+            B = self.b1 * inv1 + self.b2 * inv2
+            self._sym = tuple(
+                np.ascontiguousarray(x.astype(np.float32))
+                for x in (A.real, A.imag, B.real, B.imag))
 
     def __call__(self, zeta: Array) -> Array:
         W = self._pfft.forward(zeta)                   # planar (2, M, P)
+        if self._fuse:
+            v = self._pfft.inverse_with_symbols(W, self._sym)
+            return v.astype(zeta.dtype)
         A, B = self._symbols(zeta.dtype)
         Wn = self._fft2.negate_spectrum(W)             # W(-k), per plane
         Wr, Wi = W[0], W[1]
