@@ -40,7 +40,7 @@ def main(full_csv="bench_full.csv"):
     ax.loglog(REF_M, REF_PYQG, "^--", label="pyqg (pseudospectral, 1 CPU core)")
     if pathlib.Path(full_csv).exists():
         Ms, cols = load_csv(full_csv)
-        ax.loglog(Ms, cols["Time"], "o-", label="tpu_qg")
+        ax.loglog(Ms, cols["Time"], "o-", label="tpu_qg (1 TPU v5e chip)")
     else:
         print(f"{full_csv} not found — run benchmarks/sweep.py full first; "
               "plotting reference curves only")
@@ -53,5 +53,50 @@ def main(full_csv="bench_full.csv"):
     print(f"wrote {out}")
 
 
+# %% [markdown]
+# ## Per-part scaling (julia_parts_graph analog)
+#
+# The reference's `julia_parts_graph.ipynb` cell 2 plots evolve_psi /
+# evolve_zeta / Cholesky-setup runtimes against M with fitted log-log slopes.
+# Same plot here from `benchmarks/sweep.py parts` output: tendency
+# (evolve_zeta analog), the elliptic inversion pair (evolve_psi analog), the
+# whole step, and solver setup.
+
+# %%
+def parts(parts_csv="bench_parts.csv"):
+    import numpy as np
+
+    if not pathlib.Path(parts_csv).exists():
+        print(f"{parts_csv} not found — run benchmarks/sweep.py parts first")
+        return
+    Ms, cols = load_csv(parts_csv)
+    fig, ax = plt.subplots()
+    labels = {"tendency": "tendency (evolve_zeta analog)",
+              "inversion_pair": "elliptic inversion (evolve_psi analog)",
+              "step": "full step",
+              "solver_setup": "solver setup (one-time)"}
+    logM = np.log(np.asarray(Ms, float))
+    for key, lbl in labels.items():
+        if key not in cols:
+            continue
+        t = np.asarray(cols[key], float)
+        # Fitted log-log slope over the large-M half (small M is
+        # dispatch-latency dominated on the remote chip).
+        half = len(Ms) // 2
+        slope = np.polyfit(logM[half:], np.log(t[half:]), 1)[0] \
+            if len(Ms) - half >= 2 else float("nan")
+        ax.loglog(Ms, t, "o-", label=f"{lbl}  [slope {slope:.2f}]")
+    ax.set_xlabel("M (grid = M x M)")
+    ax.set_ylabel("runtime [s]")
+    ax.legend(fontsize=8)
+    ax.grid(True, which="both", alpha=0.3)
+    out = PLOTS / "parts_scaling.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "parts":
+        parts(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])

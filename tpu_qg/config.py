@@ -74,10 +74,12 @@ class ModelConfig:
     # (BASELINE config 1's barotropic vortex).
     ic_type: str = "random"
     # Transform backend for the packed modal inversion: "xla" = jnp.fft (the
-    # oracle), "matmul" = the MXU matmul-factorized DFT (ops/matmul_fft.py)
-    # with permuted spectral order (2.11 vs 2.57 ms/step at 2048^2 on v5e),
-    # "auto" = matmul on TPU float32 with MXU-friendly factorizations, xla
-    # otherwise.
+    # oracle), "matmul" = the MXU matmul-factorized DFT (ops/matmul_fft.py),
+    # "pallas" = the fused Pallas factored DFT with the symbol stage folded
+    # into the inverse-x kernel (ops/pallas_fft.py; 1.875 vs 2.26 vs 2.6
+    # ms/step at 2048^2 on one v5e). "auto" = pallas when the hardware gate
+    # and VMEM bound admit it (models/core._PALLAS_FFT_IN_AUTO), else matmul
+    # when both extents factor MXU-friendly, else xla.
     fft_impl: str = "auto"
 
     def __post_init__(self):

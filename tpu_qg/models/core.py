@@ -143,7 +143,11 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
 # JSON (results/tpu_smoke_*.json) shows the Pallas FFT path compiling AND
 # matching the XLA oracle on the real chip at the headline 2048^2 size.
 # fft_impl="pallas" stays available as an explicit opt-in either way.
-_PALLAS_FFT_IN_AUTO = False
+# Gate evidence: results/tpu_smoke_83c541e.json — fused-symbol Pallas FFT
+# compiles at 2048^2 (64 MB scoped-VMEM limit), matches the no-Pallas oracle
+# to 3.2e-5 after 10 steps, and bench.py measured 2.236e9 gridpoint-steps/s
+# (1.875 ms/step) vs 1.857e9 for the matmul tier on one v5e chip.
+_PALLAS_FFT_IN_AUTO = True
 
 
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
