@@ -91,9 +91,9 @@ def bench(mode: str, M=2048, P=2048, steps_per_chunk=50, reps=4):
     return M * P * steps_per_chunk / best
 
 
-def result_line(gps: float) -> str:
+def result_line(gps: float, M: int = 2048, P: int = 2048) -> str:
     return json.dumps({
-        "metric": "gridpoint-steps/s per chip, two-layer QG 2048^2 float32",
+        "metric": f"gridpoint-steps/s per chip, two-layer QG {M}x{P} float32",
         "value": round(gps, 1),
         "unit": "gridpoint-steps/s",
         "vs_baseline": round(gps / _REF_GRIDPOINT_STEPS_PER_S, 2),
@@ -124,13 +124,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="auto",
                         choices=["auto"] + sorted(_MODES))
+    parser.add_argument("--M", type=int, default=2048)
+    parser.add_argument("--P", type=int, default=2048)
     parser.add_argument("--tier-timeout", type=float, default=1500.0,
                         help="per-tier subprocess timeout in auto mode "
                              "(remote-tunnel compiles run 3-15 min)")
     args = parser.parse_args()
 
     if args.mode != "auto":
-        print(result_line(bench(args.mode)))
+        print(result_line(bench(args.mode, M=args.M, P=args.P), args.M, args.P))
         return
 
     for mode in ("pallas", "matmul", "xla"):

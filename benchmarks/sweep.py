@@ -86,11 +86,18 @@ def sweep_full(M_list, reps: int, dtype: str, use_pallas: bool = False):
     return rows
 
 
-def sweep_parts(M_list, reps: int, dtype: str, use_pallas: bool = False):
+def sweep_parts(M_list, reps: int, dtype: str, use_pallas: bool = False,
+                n_inner: int = 20):
     """Per-part timings: tendency (the reference's evolve_zeta analog),
     elliptic inversion (evolve_psi analog), solver setup (Cholesky
     factorization analog), full step
-    (reference: src/benchmarking/julia_bench_parts.jl:30-52)."""
+    (reference: src/benchmarking/julia_bench_parts.jl:30-52).
+
+    Each part runs ``n_inner`` times under one jitted ``lax.scan`` and the
+    wall time is divided by n_inner: a single dispatch through the remote
+    tunnel costs ~24 ms, which would otherwise swamp every part at every M
+    (the reference, running in-process, has no such overhead to amortize).
+    """
     rows = []
     for M in M_list:
         cfg = _bench_cfg(M, dtype, use_pallas)
@@ -98,20 +105,27 @@ def sweep_parts(M_list, reps: int, dtype: str, use_pallas: bool = False):
         state = init_state(cfg, key=jax.random.PRNGKey(0))
         state = model.run(state, 3)  # past the Euler startup
 
-        tend = jax.jit(functools.partial(_tendencies, cfg))
+        def loop(fn):
+            def run(x):
+                out, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None,
+                                      length=n_inner)
+                return out
+            return jax.jit(run)
+
+        tend_l = loop(lambda zp: (_tendencies(cfg, zp[0], zp[1]), zp[1]))
 
         def t_tendency():
-            _sync(tend(state.zeta, state.psi))
+            _sync(tend_l((state.zeta, state.psi))[0])
 
         poisson = HelmholtzSolver(cfg.M, cfg.P, cfg.dx, 0.0)
         helm = HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig)
-        solve = jax.jit(lambda z: helm(poisson(z)))
+        solve_l = loop(lambda z: helm(poisson(z)))
 
         def t_solve():
-            _sync(solve(state.zeta[0]))
+            _sync(solve_l(state.zeta[0]))
 
         def t_step():
-            _sync(model.step(state).zeta)
+            _sync(model.run(state, n_inner).zeta)
 
         t0 = time.perf_counter()
         HelmholtzSolver(cfg.M, cfg.P, cfg.dx, cfg.S_eig)
@@ -119,9 +133,9 @@ def sweep_parts(M_list, reps: int, dtype: str, use_pallas: bool = False):
 
         row = {
             "M": M,
-            "tendency": _best_of(t_tendency, reps),
-            "inversion_pair": _best_of(t_solve, reps),
-            "step": _best_of(t_step, reps),
+            "tendency": _best_of(t_tendency, reps) / n_inner,
+            "inversion_pair": _best_of(t_solve, reps) / n_inner,
+            "step": _best_of(t_step, reps) / n_inner,
             "solver_setup": t_setup,
         }
         rows.append(row)

@@ -57,16 +57,18 @@ def test_supported_predicate():
     assert pallas_fft_supported(256)
     assert pallas_fft_supported(2048)
     assert pallas_fft_supported(4096)       # N2 = 32: recursive small stage
-    assert pallas_fft_supported(8192)       # N2 = 64 (shape-supported; the
-    # 8192 x-kernel is still excluded by the VMEM fits check)
+    assert pallas_fft_supported(8192)       # N2 = 64
     assert not pallas_fft_supported(16384)  # N2 = 128 > 64
     assert not pallas_fft_supported(192)    # N1 = 96 != 128
     assert not pallas_fft_supported(64)
 
-    from tpu_qg.ops.pallas_fft import planar_fft2_fits
+    from tpu_qg.ops.pallas_fft import _x_blockspec_fits, planar_fft2_fits
     assert planar_fft2_fits(2048, 2048)
     assert planar_fft2_fits(4096, 4096)
-    assert not planar_fft2_fits(8192, 8192)  # x-kernel block alone is 8 MB
+    assert planar_fft2_fits(8192, 8192)      # via the streaming x-kernel
+    assert _x_blockspec_fits(2048, 2048)
+    assert not _x_blockspec_fits(8192, 8192)  # its block alone is 8 MB
+    assert PlanarFFT2(8192, 8192, interpret=True)._stream_x
 
 
 def test_packed_inverter_matches_oracle():
@@ -158,3 +160,41 @@ def test_fused_symbol_inverse_matches_unfused():
         np.testing.assert_allclose(got, ref, rtol=0,
                                    atol=2e-6 * np.abs(ref).max(),
                                    err_msg=f"{(M, P)}")
+
+
+def test_streaming_x_kernel_matches_blockspec():
+    """The manually-DMA'd streaming x-kernel (the 8192^2 form) produces the
+    same transforms and fused-symbol inversion as the BlockSpec form, forced
+    on at small sizes via stream_x=True."""
+    M, P = 256, 384
+    z = _rand_complex(M, P, seed=9)
+    a = PlanarFFT2(M, P, interpret=True)
+    b = PlanarFFT2(M, P, interpret=True, stream_x=True)
+    assert not a._stream_x and b._stream_x
+
+    Wa = a.forward(_planar(z))
+    Wb = b.forward(_planar(z))
+    scale = float(np.abs(np.asarray(Wa)).max())
+    np.testing.assert_allclose(np.asarray(Wb), np.asarray(Wa), rtol=0,
+                               atol=1e-6 * scale)
+    za = _complex(a.inverse(Wa))
+    zb = _complex(b.inverse(Wb))
+    np.testing.assert_allclose(zb, za, rtol=0,
+                               atol=1e-6 * np.abs(za).max())
+
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM * P / M,
+                      dt=60.0, T=3600.0, dtype="float32")
+    args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix())
+    rng = np.random.default_rng(11)
+    zeta = jnp.asarray(rng.standard_normal((2, M, P)), jnp.float32)
+    inv_a = PackedModalInverterPallasFFT(*args, interpret=True)
+    inv_b = PackedModalInverterPallasFFT(*args, interpret=True)
+    inv_b._pfft = PlanarFFT2(M, P, interpret=True, stream_x=True)
+    ra = np.asarray(inv_a(zeta))
+    rb = np.asarray(inv_b(zeta))
+    np.testing.assert_allclose(rb, ra, rtol=0, atol=1e-6 * np.abs(ra).max())

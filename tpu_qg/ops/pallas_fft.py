@@ -36,6 +36,7 @@ this is the speed-of-light TPU form of the same diagonalization.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,12 @@ _KPREC = (jax.lax.Precision.HIGHEST if _PREC == jax.lax.Precision.HIGH
 _VMEM_LIMIT = 64 * 1024 * 1024
 _VMEM_TARGET = int(0.70 * _VMEM_LIMIT)   # headroom for Mosaic's own scratch
 
+# The streaming x-kernels manage their own buffers (manual DMA, no BlockSpec
+# double-buffering), so their accounting is explicit and they may use more of
+# the 128 MB physical VMEM.
+_VMEM_LIMIT_STREAM = 96 * 1024 * 1024
+_VMEM_TARGET_STREAM = int(0.70 * _VMEM_LIMIT_STREAM)
+
 
 def _footprint(block_bytes: int, N2: int) -> int:
     """Honest scoped-VMEM model for one transform kernel.
@@ -84,27 +91,45 @@ def pallas_fft_supported(N: int) -> bool:
     return n1 == _N1 and 1 <= n2 <= 64
 
 
+def _stream_x_footprint(M: int) -> int:
+    """Explicit VMEM model for the streaming x-kernels: 2 input strip slots
+    (2, M, 128) + (for the symbol-inverse) a second mirror-strip pair + one
+    output stage + live chunk pairs / small-stage values (~2 strips) + G."""
+    strip = 2 * M * _N1 * 4
+    g = 2 * (M // _N1) * _N1 * _N1 * 4
+    return 2 * strip + 2 * strip + strip + 2 * strip + g
+
+
+def _x_blockspec_fits(M: int, P: int) -> bool:
+    return _footprint(8 * M * 128, M // _N1) <= _VMEM_TARGET
+
+
 def planar_fft2_fits(M: int, P: int) -> bool:
-    """True iff PlanarFFT2(M, P) is shape-supported AND both direction
-    kernels fit the scoped-VMEM budget at their smallest legal tile
-    (R = 8 rows for y, C = 128 columns for x)."""
+    """True iff PlanarFFT2(M, P) is shape-supported AND each direction has a
+    kernel form that fits its scoped-VMEM budget: the y-kernel at its
+    smallest row tile, the x-kernel either as a BlockSpec pipeline
+    ((2, M, 128) blocks) or as the manually-DMA'd streaming form."""
     if not (pallas_fft_supported(M) and pallas_fft_supported(P)):
         return False
-    n2_y = P // _N1
-    n2_x = M // _N1
-    y_min = _footprint(8 * 8 * P, n2_y)        # (2, 8, P) f32 block
-    x_min = _footprint(8 * M * 128, n2_x)      # (2, M, 128) f32 block
-    return y_min <= _VMEM_TARGET and x_min <= _VMEM_TARGET
+    y_min = _footprint(8 * 8 * P, P // _N1)    # (2, 8, P) f32 block
+    x_ok = (_x_blockspec_fits(M, P)
+            or _stream_x_footprint(M) <= _VMEM_TARGET_STREAM)
+    return y_min <= _VMEM_TARGET and x_ok
 
 
 def symbol_inverse_fits(M: int, P: int) -> bool:
-    """Scoped-VMEM bound for the fused symbol+inverse-x kernel: per 128-column
-    strip it holds wj, wm, out (2 strips each), 4 symbol strips — double
-    buffered — plus the lane-negated mirror, the live MXU chunk pairs and
-    small-stage outputs (~6 strip-equivalents) and the G constants."""
+    """Scoped-VMEM bound for the fused symbol+inverse-x kernel. BlockSpec
+    form: per 128-column strip it holds wj, wm, out (2 plane-strips each,
+    double buffered by the pipeline) plus the lane-negated mirror, the live
+    MXU chunk pairs and small-stage outputs (~6 plane-strips) and the G
+    constants (symbols are computed from iotas — no VMEM footprint). When
+    the plain x-kernel already needs the streaming form, the fused variant
+    streams too and is bounded by _stream_x_footprint."""
     strip = M * _N1 * 4
     g_plane = (M // _N1) * _N1 * _N1 * 4
-    return 26 * strip + 4 * g_plane <= _VMEM_TARGET
+    if _x_blockspec_fits(M, P):
+        return 18 * strip + 4 * g_plane <= _VMEM_TARGET
+    return _stream_x_footprint(M) <= _VMEM_TARGET_STREAM
 
 
 def _plan(N: int, axis: str, inverse: bool):
@@ -116,7 +141,7 @@ def _plan(N: int, axis: str, inverse: bool):
     its contraction side), split into float32 real/imag stacks.
     """
     N1, N2 = split_factor(N)
-    assert N1 == _N1 and N2 <= 16, (N, N1, N2)
+    assert N1 == _N1 and N2 <= 64, (N, N1, N2)
     if not inverse:
         F2 = _dft(N2, -1, np.complex128)             # (k2, n2)
         F1 = _dft(N1, -1, np.complex128)             # (k1, n1)
@@ -264,29 +289,65 @@ def _perm_matrices():
     return jflip, jroll
 
 
-def _build_symbol_inv_x_kernel(M: int):
+def _symbols_for_block(M: int, P: int, c, j, consts):
+    """The packed-inversion symbols A, B on row-block c of column strip j,
+    computed in-kernel from iotas — no operands, no HBM reads.
+
+    Permuted order: sublane s of row-block c holds x-frequency c + N2x*s,
+    lane l of strip j holds y-frequency j + N2y*l. The discrete eigenvalue
+    uses the cancellation-free form 2cos(2 pi k/N) - 2 == -4 sin^2(pi k/N)
+    (f32-accurate at small k where the subtractive form loses ~all bits;
+    ops/spectral.py builds the same values in float64 numpy). consts =
+    (n2x, n2y, inv_dx2, alpha2, a1, a2, b1, b2) with complex a*/b* scalars.
+
+    ``c`` may be a Python int (BlockSpec path) or a traced scalar (streaming
+    path); ``j`` is the traced grid index.
+    """
+    n2x, n2y, inv_dx2, alpha2, a1, a2, b1, b2 = consts
+    s = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 1)
+    fx = (c + n2x * s).astype(jnp.float32)
+    fy = (j + n2y * ll).astype(jnp.float32)
+    # sin(pi k/N) == sin(pi (N-k)/N): fold k onto [0, N/2] so the f32 sin
+    # argument stays <= pi/2 — near pi the argument rounding alone costs
+    # ~1e-5 relative in the small sin values.
+    sx = jnp.sin((math.pi / M) * jnp.minimum(fx, M - fx))
+    sy = jnp.sin((math.pi / P) * jnp.minimum(fy, P - fy))
+    lam = (-4.0 * inv_dx2) * (sx * sx + sy * sy)
+    # Zero-mean gauge: inv1 = 1/lam except the k == 0 slot (slot (0, 0) of
+    # block 0 / strip 0), which is 0.
+    is_zero = (fx + fy) == 0.0
+    inv1 = jnp.where(is_zero, 0.0, 1.0 / jnp.where(is_zero, 1.0, lam))
+    inv2 = 1.0 / (lam + alpha2)
+    ar = float(a1.real) * inv1 + float(a2.real) * inv2
+    ai = float(a1.imag) * inv1 + float(a2.imag) * inv2
+    br = float(b1.real) * inv1 + float(b2.real) * inv2
+    bi = float(b1.imag) * inv1 + float(b2.imag) * inv2
+    return ar, ai, br, bi
+
+
+def _build_symbol_inv_x_kernel(M: int, P: int, consts):
     """Inverse-x kernel with the packed-inversion symbol stage fused in.
 
     Operands (per 128-column strip j of the permuted spectrum W):
       gr, gi — twiddle-folded inverse MXU matrices (as _build_kernel);
       wj     — W strip j (2, M, 128);
       wm     — W strip (N2y - j) % N2y, the strip holding the y-negated
-               frequencies (the negation maps 128-blocks to 128-blocks);
-      ar, ai, br, bi — the inversion symbols A(k), B(k) restricted to strip j
-               ((M, 128) f32 planes, permuted order).
+               frequencies (the negation maps 128-blocks to 128-blocks).
     Body: lane-permute wm (y-negation within the block), then per x-row-block
-    c: sublane-permute the mirror row block (x-negation), form
+    c: sublane-permute the mirror row block (x-negation), evaluate the
+    symbols A, B from iotas (_symbols_for_block — no HBM reads), form
     V = A W + B conj(W(-k)) pointwise, and feed straight into the inverse MXU
     stage + recursive small stage. Replaces the XLA-level negate_spectrum +
     symbol multiply (ops/spectral.py PackedModalInverter.__call__), saving
-    two full-field HBM round-trips per inversion.
+    two full-field HBM round-trips plus the four symbol-plane reads per
+    inversion.
     """
     N2, _, _, _ = _plan(M, "x", True)
     pdot = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
                              preferred_element_type=jnp.float32)
 
-    def kernel(gr_ref, gi_ref, wj_ref, wm_ref, ar_ref, ai_ref, br_ref,
-               bi_ref, o_ref):
+    def kernel(gr_ref, gi_ref, wj_ref, wm_ref, o_ref):
         j = pl.program_id(0)
         jflip, jroll = _perm_matrices()
         # y-direction (lane) negation of the mirror strip: strip 0 is its own
@@ -296,8 +357,6 @@ def _build_symbol_inv_x_kernel(M: int):
         wmi = pdot(wm_ref[1], jlane)
 
         wjr, wji = wj_ref[0], wj_ref[1]
-        ar, ai = ar_ref[:], ai_ref[:]
-        br, bi = br_ref[:], bi_ref[:]
 
         def blk(a, c):
             return a[c * _N1:(c + 1) * _N1, :]
@@ -312,8 +371,8 @@ def _build_symbol_inv_x_kernel(M: int):
             wni = pdot(jrow, blk(wmi, r))
             # V = A W + B conj(W(-k)) on the planes (same expansion as
             # ops/spectral.py PackedModalInverterPallasFFT.__call__).
+            arb, aib, brb, bib = _symbols_for_block(M, P, c, j, consts)
             wr_, wi_ = blk(wjr, c), blk(wji, c)
-            arb, aib, brb, bib = blk(ar, c), blk(ai, c), blk(br, c), blk(bi, c)
             vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
             vi = aib * wr_ + arb * wi_ + bib * wnr - brb * wni
             pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True))
@@ -323,6 +382,121 @@ def _build_symbol_inv_x_kernel(M: int):
             sr, si = outs[b]
             o_ref[0, b * _N1:(b + 1) * _N1, :] = sr
             o_ref[1, b * _N1:(b + 1) * _N1, :] = si
+
+    return kernel
+
+
+def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None):
+    """Streaming x-transform kernel: grid over 128-column strips with manual
+    HBM DMA — input strips double-buffered (strip i+1's fetch overlaps strip
+    i's compute), output staged through one VMEM buffer whose store-DMA
+    overlaps the next strip's work. The (2, M, 128) strips never enter the
+    BlockSpec pipeline, so the footprint is explicit and fits at M = 8192
+    (where the BlockSpec form's 4x-buffered 8 MB blocks cannot).
+
+    consts != None additionally fuses the packed-inversion symbol stage
+    (inverse only): a second DMA stream delivers the mirror strip
+    (N2y - j) % N2y straight from the same HBM operand.
+    """
+    N2, _, _, _ = _plan(M, "x", inverse)
+    fuse = consts is not None
+    assert not fuse or inverse
+    n2y = P // _N1
+    pdot = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                             preferred_element_type=jnp.float32)
+
+    def kernel(gr_ref, gi_ref, x_hbm, o_ref, in_buf, wm_buf, stage, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        two = jnp.asarray(2, i.dtype)
+
+        def in_copy(j, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, :, pl.ds(j * _N1, _N1)], in_buf.at[slot],
+                sems.at[slot])
+
+        def wm_copy(j, slot):
+            m = jax.lax.rem(jnp.asarray(n2y, j.dtype) - j,
+                            jnp.asarray(n2y, j.dtype))
+            return pltpu.make_async_copy(
+                x_hbm.at[:, :, pl.ds(m * _N1, _N1)], wm_buf.at[slot],
+                sems.at[2 + slot])
+
+        def out_copy(j):
+            return pltpu.make_async_copy(
+                stage, o_ref.at[:, :, pl.ds(j * _N1, _N1)], sems.at[4])
+
+        def start(j, slot):
+            in_copy(j, slot).start()
+            if fuse:
+                wm_copy(j, slot).start()
+
+        def wait_in(j, slot):
+            in_copy(j, slot).wait()
+            if fuse:
+                wm_copy(j, slot).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start(jnp.asarray(0, i.dtype), 0)
+
+        @pl.when(i + 1 < n)
+        def _():
+            start(i + 1, jax.lax.rem(i + 1, two))
+
+        slot = jax.lax.rem(i, two)
+        wait_in(i, slot)
+        # The single output stage is reused every strip: strip i-1's store
+        # must have drained before we overwrite it.
+        @pl.when(i > 0)
+        def _():
+            out_copy(i - 1).wait()
+
+        def load(buf, plane):
+            return buf[pl.ds(slot, 1), plane][0]          # (M, 128)
+
+        xr, xi = load(in_buf, 0), load(in_buf, 1)
+
+        def blk(a, c):
+            return a[c * _N1:(c + 1) * _N1, :]
+
+        if not inverse:
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            for b in range(N2):
+                sr, si = smalls[b]
+                orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b], left=True)
+                stage[0, b * _N1:(b + 1) * _N1, :] = orr
+                stage[1, b * _N1:(b + 1) * _N1, :] = oii
+        else:
+            if fuse:
+                jflip, jroll = _perm_matrices()
+                jlane = jnp.where(i == 0, jroll, jflip)
+                wmr = pdot(load(wm_buf, 0), jlane)
+                wmi = pdot(load(wm_buf, 1), jlane)
+            pairs = []
+            for c in range(N2):
+                vr, vi = blk(xr, c), blk(xi, c)
+                if fuse:
+                    r = (-c) % N2
+                    jrow = jroll if c == 0 else jflip
+                    wnr = pdot(jrow, blk(wmr, r))
+                    wni = pdot(jrow, blk(wmi, r))
+                    ar, ai, br, bi = _symbols_for_block(M, P, c, i, consts)
+                    vr, vi = (ar * vr - ai * vi + br * wnr + bi * wni,
+                              ai * vr + ar * vi + bi * wnr - br * wni)
+                pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True))
+            outs = _chunk_dft(pairs, +1, 1.0 / N2)
+            for b in range(N2):
+                sr, si = outs[b]
+                stage[0, b * _N1:(b + 1) * _N1, :] = sr
+                stage[1, b * _N1:(b + 1) * _N1, :] = si
+
+        out_copy(i).start()
+
+        @pl.when(i == n - 1)
+        def _():
+            out_copy(i).wait()
 
     return kernel
 
@@ -358,15 +532,21 @@ class PlanarFFT2:
     transform); x- and y-transforms commute so fft2 is y then x.
     """
 
-    def __init__(self, M: int, P: int, interpret: bool = False):
+    def __init__(self, M: int, P: int, interpret: bool = False,
+                 stream_x: bool = None):
         if not planar_fft2_fits(M, P):
             raise ValueError(f"PlanarFFT2 unsupported for {(M, P)}: each "
-                             "extent must be 128 * N2 with N2 <= 16 and the "
+                             "extent must be 128 * N2 with N2 <= 64 and the "
                              "kernels must fit the scoped-VMEM budget")
         self.M, self.P = M, P
         # Mosaic only targets TPU; everywhere else run the kernels in
         # interpret mode (tests, CPU oracles).
         self.interpret = interpret or jax.default_backend() != "tpu"
+        # x-direction kernel form: BlockSpec pipeline when its 4x-buffered
+        # (2, M, 128) blocks fit VMEM, else the manually-DMA'd streaming
+        # form (M >= 8192). stream_x=True forces streaming (tests).
+        self._stream_x = (not _x_blockspec_fits(M, P)) if stream_x is None \
+            else stream_x
         self._R = _pick_rows(M, P)
         self._C = _pick_cols(M, P)
         self._kern, self._G = {}, {}
@@ -377,7 +557,7 @@ class PlanarFFT2:
             _, _, grx, gix = _plan(M, "x", inv)
             self._G[("y", inv)] = (jnp.asarray(gry), jnp.asarray(giy))
             self._G[("x", inv)] = (jnp.asarray(grx), jnp.asarray(gix))
-        self._kern_sym_x = _build_symbol_inv_x_kernel(M)
+        self._sym_kern_cache = {}
 
     def _call_y(self, z: Array, inverse: bool) -> Array:
         M, P, R = self.M, self.P, self._R
@@ -396,7 +576,40 @@ class PlanarFFT2:
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, z)
 
+    def _call_x_stream(self, z: Array, inverse: bool, consts=None) -> Array:
+        """Streaming x-kernel dispatch (see _build_streaming_x)."""
+        M, P = self.M, self.P
+        gr, gi = self._G[("x", inverse)]
+        n2x = gr.shape[0]
+        key = ("stream", inverse, consts)
+        if key not in self._sym_kern_cache:
+            self._sym_kern_cache[key] = _build_streaming_x(
+                M, P, inverse=inverse, consts=consts)
+        fuse = consts is not None
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j: (0, 0, 0))
+        return pl.pallas_call(
+            self._sym_kern_cache[key],
+            grid=(P // _N1,),
+            in_specs=[gspec, gspec,
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, M, _N1), z.dtype),
+                # Mirror-strip buffer only materializes when fused.
+                pltpu.VMEM((2, 2, M, _N1) if fuse else (2, 2, 8, _N1),
+                           z.dtype),
+                pltpu.VMEM((2, M, _N1), z.dtype),
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_STREAM),
+        )(gr, gi, z)
+
     def _call_x(self, z: Array, inverse: bool) -> Array:
+        if self._stream_x:
+            return self._call_x_stream(z, inverse)
         M, P, C = self.M, self.P, self._C
         gr, gi = self._G[("x", inverse)]
         n2 = gr.shape[0]
@@ -413,30 +626,33 @@ class PlanarFFT2:
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, z)
 
-    def _call_x_symbols(self, Z: Array, syms) -> Array:
+    def _call_x_symbols(self, Z: Array, consts) -> Array:
         """Fused symbol multiply + inverse-x transform: one kernel computing
         ifft_x(A * W + B * conj(W(-k))) per 128-column strip, with the mirror
-        strip delivered by the BlockSpec index map."""
+        strip delivered by the BlockSpec index map and the symbols computed
+        in-kernel from iotas."""
+        if self._stream_x:
+            return self._call_x_stream(Z, True, consts)
         M, P = self.M, self.P
         gr, gi = self._G[("x", True)]
+        if consts not in self._sym_kern_cache:
+            self._sym_kern_cache[consts] = _build_symbol_inv_x_kernel(
+                M, P, consts)
         n2x = gr.shape[0]
         n2y = P // _N1
         gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j: (0, 0, 0))
         wspec = pl.BlockSpec((2, M, _N1), lambda j: (0, 0, j))
         mspec = pl.BlockSpec((2, M, _N1), lambda j: (0, 0, (n2y - j) % n2y))
-        sspec = pl.BlockSpec((M, _N1), lambda j: (0, j))
-        ar, ai, br, bi = (jnp.asarray(s) for s in syms)
         return pl.pallas_call(
-            self._kern_sym_x,
+            self._sym_kern_cache[consts],
             grid=(n2y,),
-            in_specs=[gspec, gspec, wspec, mspec,
-                      sspec, sspec, sspec, sspec],
+            in_specs=[gspec, gspec, wspec, mspec],
             out_specs=pl.BlockSpec((2, M, _N1), lambda j: (0, 0, j)),
             out_shape=jax.ShapeDtypeStruct((2, M, P), Z.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
-        )(gr, gi, Z, Z, ar, ai, br, bi)
+        )(gr, gi, Z, Z)
 
     def forward(self, z: Array) -> Array:
         """Planar (2, M, P) natural order -> planar permuted spectrum."""
@@ -446,9 +662,10 @@ class PlanarFFT2:
         """Planar permuted spectrum -> planar natural order (scaled 1/MP)."""
         return self._call_y(self._call_x(Z, True), True)
 
-    def inverse_with_symbols(self, Z: Array, syms) -> Array:
+    def inverse_with_symbols(self, Z: Array, consts) -> Array:
         """Planar permuted spectrum W -> ifft2(A W + B conj(W(-k))), natural
         order: the packed modal inversion's entire spectral stage fused into
-        the inverse-x kernel. ``syms`` = (Ar, Ai, Br, Bi) permuted-order
-        (M, P) f32 planes."""
-        return self._call_y(self._call_x_symbols(Z, syms), True)
+        the inverse-x kernel. ``consts`` = the hashable scalar tuple
+        (n2x, n2y, inv_dx2, alpha2, a1, a2, b1, b2) consumed by
+        _symbols_for_block."""
+        return self._call_y(self._call_x_symbols(Z, consts), True)

@@ -260,21 +260,18 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
         self._pfft = PlanarFFT2(M, P, interpret=interpret)
         self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
         if self._fuse:
-            # Permuted-order symbol planes, built once in float64 numpy.
-            lam = self.lam_x[:, None] + self.lam_y[None, :]
-            inv1 = np.where(lam == 0.0, 0.0,
-                            1.0 / np.where(lam == 0.0, 1.0, lam))
-            inv2 = 1.0 / (lam + self.alpha2)
-            A = self.a1 * inv1 + self.a2 * inv2
-            B = self.b1 * inv1 + self.b2 * inv2
-            self._sym = tuple(
-                np.ascontiguousarray(x.astype(np.float32))
-                for x in (A.real, A.imag, B.real, B.imag))
+            # Hashable scalar constants from which the kernel rebuilds the
+            # symbols per block (pallas_fft._symbols_for_block).
+            from .matmul_fft import split_factor
+            self._sym_consts = (
+                split_factor(M)[1], split_factor(P)[1],
+                1.0 / (dx * dx), float(alpha2),
+                self.a1, self.a2, self.b1, self.b2)
 
     def __call__(self, zeta: Array) -> Array:
         W = self._pfft.forward(zeta)                   # planar (2, M, P)
         if self._fuse:
-            v = self._pfft.inverse_with_symbols(W, self._sym)
+            v = self._pfft.inverse_with_symbols(W, self._sym_consts)
             return v.astype(zeta.dtype)
         A, B = self._symbols(zeta.dtype)
         Wn = self._fft2.negate_spectrum(W)             # W(-k), per plane
