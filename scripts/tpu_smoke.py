@@ -118,7 +118,8 @@ def main():
 
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
-    out_path = os.path.join(REPO, "results", f"tpu_smoke_{rev}.json")
+    size = "" if (args.M, args.P) == (2048, 2048) else f"_{args.M}x{args.P}"
+    out_path = os.path.join(REPO, "results", f"tpu_smoke_{rev}{size}.json")
     records = []
     # plain (the oracle) always runs first so comparisons are meaningful.
     order = [v for v in VARIANTS if v in args.variants]

@@ -168,7 +168,13 @@ def _resolve_fft_impl(cfg: ModelConfig) -> str:
     from ..ops.matmul_fft import split_factor
     if cfg.use_pallas and _PALLAS_FFT_IN_AUTO:
         from ..ops.pallas_fft import planar_fft2_fits
-        if planar_fft2_fits(cfg.M, cfg.P):
+        # Hardware-validated regime: the smoke evidence covers the BlockSpec
+        # x-kernel with N2 <= 16 per extent (2048^2-class shapes). Larger N2
+        # (recursive small stage at 4096) and the streaming x-kernel (8192)
+        # stay explicit opt-ins (fft_impl="pallas") until a smoke JSON at
+        # those sizes lands.
+        if (planar_fft2_fits(cfg.M, cfg.P)
+                and cfg.M <= 16 * 128 and cfg.P <= 16 * 128):
             return "pallas"
     if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
         return "matmul"
@@ -209,8 +215,13 @@ def _build_solvers(cfg: ModelConfig, batched_fft: bool = True):
 
 def _use_pallas(cfg: ModelConfig) -> bool:
     """Fused kernels cover both time schemes (euler_ab3 and leapfrog_ra) and
-    the wind-forcing term since round 2; only shape/dtype support gates."""
+    the wind-forcing term since round 2; shape/dtype support gates, plus a
+    size floor: below ~256^2 the step is dispatch-latency dominated and the
+    kernel machinery loses to plain XLA (measured on v5e: barotropic-128
+    fused 0.0656 ms/step vs XLA 0.0572 — results/preset_rates.json)."""
     if not cfg.use_pallas or jax.default_backend() != "tpu":
+        return False
+    if cfg.M * cfg.P < 256 * 256:
         return False
     from ..ops.pallas_tendency import pallas_supported
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))

@@ -21,9 +21,10 @@ spectral symbols and negate-spectrum logic are shared):
 
 TPU mapping (no transposes, no unaligned slices anywhere):
 
-  * small stage (radix N2 <= 16): per destination block, a sum of N2
-    scalar-weighted 128-wide chunk FMAs on the VPU. Chunk slices fall on
-    N1 = 128 lane (y-kernel) / sublane (x-kernel) boundaries.
+  * small stage (radix N2 <= 64): a recursive Cooley-Tukey DFT over the
+    128-wide chunks with compile-time scalar weights on the VPU (per-element
+    cost ~ sum of N2's radix factors). Chunk slices fall on N1 = 128 lane
+    (y-kernel) / sublane (x-kernel) boundaries.
   * large stage (radix 128): one 128x128 MXU dot per block (4 real dots per
     complex dot), contracting the minor (y) / intra-block-row (x) axis.
   * twiddle: fused VPU multiply between the stages.
@@ -197,7 +198,11 @@ def _chunk_dft(pairs, sign: int, scale: float = 1.0):
     if N == 1:
         (cr, ci) = pairs[0]
         return [(cr * scale, ci * scale)] if scale != 1.0 else [pairs[0]]
-    A = next((a for a in range(2, _NAIVE_RADIX + 1) if N % a == 0), None)
+    # Largest radix <= _NAIVE_RADIX: fewest recursion levels, so the fewest
+    # rounding-accumulation stages (N = 64 is one combine over 8-point naive
+    # DFTs rather than three radix-2 levels).
+    A = max((a for a in range(2, _NAIVE_RADIX + 1) if N % a == 0),
+            default=None)
     if N <= _NAIVE_RADIX or A is None:
         # Naive for small N, or N with no small factor (prime-ish).
         W = scale * np.exp(sign * 2j * np.pi

@@ -62,6 +62,22 @@ def _lap_rows(u: Array, r0: int, rows: int, inv_dx2: float) -> Array:
 # sizes for memref slices and DMA windows, so the halo is padded to 8.
 _H = 8
 
+# Scoped-VMEM limit for the step kernels (explicit CompilerParams on every
+# pallas_call). The Mosaic default of 16 MB forces 8-32-row tiles at
+# 2048^2-8192^2, paying the 16-halo-row fetch overhead (up to 3x read
+# amplification at T = 8) and per-tile stage costs; v5e has 128 MB physical
+# VMEM, so the kernels budget against 70% of an explicit 64 MB limit.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = int(0.70 * _VMEM_LIMIT)
+_PARAMS = None  # set lazily: pltpu.CompilerParams(vmem_limit_bytes=...)
+
+
+def _params():
+    global _PARAMS
+    if _PARAMS is None:
+        _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return _PARAMS
+
 
 def _wind_rows(cfg: ModelConfig, T: int, P: int) -> Array:
     """Double-gyre wind PV forcing over a (T, P) tile, computed in-VMEM.
@@ -211,7 +227,7 @@ def _pick_tile(M: int, P: int, L: int, itemsize: int) -> int:
     Footprint model: 2 halo scratches of L*(T+2H) rows, a double-buffered
     out block of L*T rows, plus ~14 stencil temporaries of T rows per layer
     held on the Mosaic value stack (the Arakawa shifts dominate)."""
-    budget = 14 * 1024 * 1024
+    budget = _VMEM_BUDGET
     T = M
     while T > 8:
         foot = P * itemsize * (L * (2 * (T + 2 * _H) + 2 * T) + 14 * T)
@@ -258,6 +274,7 @@ def fused_tendency(cfg: ModelConfig, zeta: Array, psi: Array,
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
+        compiler_params=_params(),
     )(zeta, psi)
 
 
@@ -668,7 +685,7 @@ def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
 
 def _pick_tile_v4(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the streamed kernel: two input slots per array."""
-    budget = 13 * 1024 * 1024
+    budget = _VMEM_BUDGET
     T = M
     while T > 8:
         foot = P * itemsize * (
@@ -720,6 +737,7 @@ def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
             jax.ShapeDtypeStruct((L, M, P), dtype),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
     return zeta_new, tend
 
@@ -727,7 +745,7 @@ def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
 def _pick_tile_v3(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the v3 kernel: v2's footprint minus the modes output,
     plus the six column-rotated slabs held live per layer."""
-    budget = 13 * 1024 * 1024
+    budget = _VMEM_BUDGET
     T = M
     while T > 8:
         foot = P * itemsize * (
@@ -781,6 +799,7 @@ def fused_step_pre_fft(cfg: ModelConfig, zeta: Array, psi: Array,
             jax.ShapeDtypeStruct((L, M, P), dtype),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
     return zeta_new, tend
 
@@ -788,7 +807,7 @@ def fused_step_pre_fft(cfg: ModelConfig, zeta: Array, psi: Array,
 def _pick_tile_v2(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the fused pre-inversion kernel: adds f1/f2 scratches and
     three double-buffered outputs to the v1 footprint model."""
-    budget = 13 * 1024 * 1024
+    budget = _VMEM_BUDGET
     T = M
     while T > 8:
         foot = P * itemsize * (
@@ -845,5 +864,6 @@ def fused_pre_inversion(cfg: ModelConfig, zeta: Array, psi: Array,
             jax.ShapeDtypeStruct((K, M, P), dtype),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
     return zeta_new, tend, modes
