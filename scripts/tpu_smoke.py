@@ -38,13 +38,23 @@ if REPO not in sys.path:  # `python scripts/...` puts scripts/ first, not REPO
     sys.path.insert(0, REPO)
 ORACLE_NPY = "/tmp/tpu_smoke_oracle_{M}x{P}_s{steps}.npy"
 
-# variant -> (use_pallas, fft_impl)
+# variant -> ModelConfig overrides
 VARIANTS = {
-    "plain": (False, "xla"),
-    "xla": (True, "xla"),
-    "matmul": (True, "matmul"),
-    "pallas": (True, "pallas"),
+    "plain": dict(use_pallas=False, fft_impl="xla"),
+    "xla": dict(use_pallas=True, fft_impl="xla"),
+    "matmul": dict(use_pallas=True, fft_impl="matmul"),
+    "pallas": dict(use_pallas=True, fft_impl="pallas"),
+    # bf16x3 MXU stage inside the Pallas DFT kernels (gate for
+    # models/core._BF16X3_IN_AUTO).
+    "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                          fft_mxu="bf16x3"),
+    # y-fused three-kernel step chain (gate for models/core._YFUSED_IN_AUTO).
+    "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                         fft_mxu="bf16x3", step_chain="on"),
 }
+# Default run = bench.py's tier ladder; experimental variants are opt-in.
+DEFAULT_VARIANTS = ["plain", "xla", "matmul", "pallas"]
 
 
 def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
@@ -61,16 +71,22 @@ def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
     from tpu_qg.constants import KM
     from tpu_qg.models.core import QGModel, init_state
 
-    use_pallas, fft_impl = VARIANTS[variant]
+    overrides = VARIANTS[variant]
     cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM,
-                      dt=60.0, T=3600.0, dtype="float32",
-                      use_pallas=use_pallas, fft_impl=fft_impl)
+                      dt=60.0, T=3600.0, dtype="float32", **overrides)
     rec = {"variant": variant, "M": M, "P": P, "steps": steps,
-           "use_pallas": use_pallas, "fft_impl": fft_impl,
-           "platform": jax.devices()[0].platform}
+           **overrides, "platform": jax.devices()[0].platform}
 
     t0 = time.perf_counter()
     model = QGModel(cfg)
+    if "chain" in variant:
+        # A chain variant that silently fell back to the plain step path must
+        # not masquerade as chain evidence.
+        rec["chain_active"] = model._chain is not None
+        if not rec["chain_active"]:
+            rec["ok"] = False
+            rec["error_tail"] = ["make_chain_fns returned None"]
+            return rec
     state = init_state(cfg, key=jax.random.PRNGKey(0))
     state = model.run(state, steps)
     zeta = np.asarray(state.zeta)  # host transfer forces completion
@@ -103,7 +119,8 @@ def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--variants", nargs="*", default=DEFAULT_VARIANTS,
+                    choices=list(VARIANTS))
     ap.add_argument("--M", type=int, default=2048)
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=10)

@@ -198,3 +198,56 @@ def test_streaming_x_kernel_matches_blockspec():
     ra = np.asarray(inv_a(zeta))
     rb = np.asarray(inv_b(zeta))
     np.testing.assert_allclose(rb, ra, rtol=0, atol=1e-6 * np.abs(ra).max())
+
+
+def test_bf16x3_mxu_stage():
+    """The manual 3-term bf16 MXU decomposition (mxu="bf16x3") reproduces the
+    HIGHEST-precision build to the bf16x3 error model (~2^-16 relative), for
+    the plain transforms, the fused-symbol inversion, and a full model step."""
+    M, P = 256, 384
+    z = _rand_complex(M, P, seed=13)
+    hi = PlanarFFT2(M, P, interpret=True)
+    lo = PlanarFFT2(M, P, interpret=True, mxu="bf16x3")
+
+    Wh = np.asarray(hi.forward(_planar(z)))
+    Wl = np.asarray(lo.forward(_planar(z)))
+    scale = np.abs(Wh).max()
+    np.testing.assert_allclose(Wl, Wh, rtol=0, atol=5e-5 * scale)
+    back = _complex(lo.inverse(lo.forward(_planar(z))))
+    np.testing.assert_allclose(back, z, rtol=0, atol=5e-5 * np.abs(z).max())
+
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.ops.spectral import (PackedModalInverter,
+                                     PackedModalInverterPallasFFT)
+
+    cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM * P / M,
+                      dt=60.0, T=3600.0, dtype="float32")
+    args = (cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix())
+    rng = np.random.default_rng(17)
+    zeta = jnp.asarray(rng.standard_normal((2, M, P)), jnp.float32)
+    ref = np.asarray(PackedModalInverter(*args)(zeta))
+    got = np.asarray(PackedModalInverterPallasFFT(
+        *args, interpret=True, mxu="bf16x3")(zeta))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * np.abs(ref).max())
+
+
+def test_model_step_with_bf16x3_matches_xla_fft():
+    """A full jitted step with fft_mxu='bf16x3' stays within the bf16x3 error
+    band of the XLA-FFT step (interpret mode on CPU)."""
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM
+    from tpu_qg.models import core
+
+    base = dict(M=256, P=256, Lx=4000.0 * KM, Ly=4000.0 * KM,
+                dt=60.0, T=3600.0, dtype="float32")
+    state0 = core.init_state(ModelConfig(**base), key=jax.random.PRNGKey(0))
+
+    def run(n=3, **kw):
+        model = core.QGModel(ModelConfig(**base, **kw))
+        return np.asarray(model.run(state0, n).zeta)
+
+    ref = run(fft_impl="xla")
+    got = run(fft_impl="pallas", fft_mxu="bf16x3")
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * np.abs(ref).max())

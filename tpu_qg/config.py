@@ -81,6 +81,19 @@ class ModelConfig:
     # and VMEM bound admit it (models/core._PALLAS_FFT_IN_AUTO), else matmul
     # when both extents factor MXU-friendly, else xla.
     fft_impl: str = "auto"
+    # MXU strategy for the Pallas DFT kernels' large-radix stage:
+    # "highest" = full f32 emulation (6 MXU passes per real dot), "bf16x3" =
+    # manual 3-term bf16 decomposition (3 single-pass dots, ~2^-16 relative —
+    # the in-kernel analog of the matmul tier's Precision.HIGH). "auto" picks
+    # bf16x3 once hardware-gated in (models/core._BF16X3_IN_AUTO), else
+    # highest. Only consulted when the resolved fft_impl is "pallas".
+    fft_mxu: str = "auto"
+    # The y-fused three-kernel step chain (models/core.make_chain_fns): psi
+    # rides between steps in permuted y-spectral form and the step kernel
+    # does the inversion's y-transforms in-VMEM, making one model step
+    # exactly three kernel HBM passes. "auto" = on once hardware-gated
+    # (models/core._YFUSED_IN_AUTO) and supported; "on"/"off" force it.
+    step_chain: str = "auto"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -95,6 +108,10 @@ class ModelConfig:
             raise ValueError(f"unsupported ic_type {self.ic_type!r}")
         if self.fft_impl not in ("auto", "xla", "matmul", "pallas"):
             raise ValueError(f"unsupported fft_impl {self.fft_impl!r}")
+        if self.fft_mxu not in ("auto", "highest", "bf16x3"):
+            raise ValueError(f"unsupported fft_mxu {self.fft_mxu!r}")
+        if self.step_chain not in ("auto", "on", "off"):
+            raise ValueError(f"unsupported step_chain {self.step_chain!r}")
 
     # --- derived geometry ---
     @property

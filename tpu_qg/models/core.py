@@ -149,6 +149,21 @@ def _invert_psi(cfg: ModelConfig, solvers, zeta: Array) -> Array:
 # (1.875 ms/step) vs 1.857e9 for the matmul tier on one v5e chip.
 _PALLAS_FFT_IN_AUTO = True
 
+# Hardware gate for the bf16x3 MXU stage inside the Pallas DFT kernels
+# (fft_mxu="auto"): may only be True in a commit whose scripts/tpu_smoke.py
+# JSON shows the bf16x3 variant compiling AND matching the no-Pallas oracle
+# on the real chip at 2048^2. fft_mxu="bf16x3" stays an explicit opt-in
+# either way.
+_BF16X3_IN_AUTO = False
+
+
+def _resolve_fft_mxu(cfg: ModelConfig) -> str:
+    """Resolve fft_mxu="auto" for the Pallas DFT kernels (see
+    config.ModelConfig.fft_mxu and _BF16X3_IN_AUTO)."""
+    if cfg.fft_mxu != "auto":
+        return cfg.fft_mxu
+    return "bf16x3" if _BF16X3_IN_AUTO else "highest"
+
 
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
     """Resolve fft_impl="auto": on TPU float32, the Pallas fused factored DFT
@@ -189,8 +204,11 @@ def _build_packed_inverter(cfg: ModelConfig):
     from ..ops.spectral import (PackedModalInverter, PackedModalInverterMXU,
                                 PackedModalInverterPallasFFT)
     impl = _resolve_fft_impl(cfg)
-    cls = {"pallas": PackedModalInverterPallasFFT,
-           "matmul": PackedModalInverterMXU}.get(impl, PackedModalInverter)
+    if impl == "pallas":
+        return PackedModalInverterPallasFFT(
+            cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix(), mxu=_resolve_fft_mxu(cfg))
+    cls = PackedModalInverterMXU if impl == "matmul" else PackedModalInverter
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())
 
@@ -225,6 +243,77 @@ def _use_pallas(cfg: ModelConfig) -> bool:
         return False
     from ..ops.pallas_tendency import pallas_supported
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))
+
+
+# Hardware gate for the y-fused three-kernel step chain in QGModel.run
+# (tendency+y-transforms, forward-x, symbol+inverse-x — the step's psi rides
+# in permuted y-spectral form between steps). May only be True in a commit
+# whose scripts/tpu_smoke.py JSON shows the chain compiling AND matching the
+# no-Pallas oracle on the real chip at 2048^2. cfg.step_chain="on" stays an
+# explicit opt-in either way.
+_YFUSED_IN_AUTO = False
+
+
+def _chain_next_state(cfg: ModelConfig, state: State, zeta_new, psi_new,
+                      carry) -> State:
+    if cfg.time_scheme == "leapfrog_ra":
+        return State(zeta_new, psi_new, carry, state.f2, state.step + 1)
+    return State(zeta_new, psi_new, carry, state.f1, state.step + 1)
+
+
+def make_chain_fns(cfg: ModelConfig, interpret: bool = False):
+    """The y-fused step chain: (to_internal, step, to_external), or None.
+
+    Internally ``State.psi`` holds the PACKED PERMUTED y-SPECTRUM of psi (the
+    symbol+inverse-x kernel's output — the inversion minus its final
+    inverse-y): the step kernel inverse-y's it in-VMEM before the stencils
+    and forward-y's the updated zeta in-VMEM, so one model step is exactly
+    THREE kernel HBM passes. ``to_internal``/``to_external`` convert a
+    natural-psi State at scan boundaries (one y-kernel pass each; external
+    semantics — checkpoints, diagnostics, samples — always see natural psi).
+    """
+    if cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
+        return None
+    from ..ops.pallas_tendency import fused_step_streamed_yspec, yfused_supported
+    if not yfused_supported(cfg, jnp.dtype(cfg.dtype)):
+        return None
+    mxu = _resolve_fft_mxu(cfg)
+    if interpret:
+        # Test hook: build the chain off-TPU (all kernels in interpret mode).
+        from ..ops.spectral import PackedModalInverterPallasFFT
+        inverter = PackedModalInverterPallasFFT(
+            cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix(), interpret=True, mxu=mxu)
+    else:
+        if not _use_pallas(cfg) or _resolve_fft_impl(cfg) != "pallas":
+            return None
+        inverter = _build_packed_inverter(cfg)
+    if not getattr(inverter, "_fuse", False):
+        return None
+    pfft = inverter._pfft
+    consts = inverter._sym_consts
+
+    def to_internal(state: State) -> State:
+        return state._replace(psi=pfft._call_y(state.psi, False))
+
+    def to_external(state: State) -> State:
+        return state._replace(psi=pfft._call_y(state.psi, True))
+
+    def step(state: State) -> State:
+        zeta_new, carry, zeta_ys = fused_step_streamed_yspec(
+            cfg, state.zeta, state.psi, state.f1, state.f2, state.step, mxu,
+            interpret)
+        W = pfft._call_x(zeta_ys, False)
+        psi_ys = pfft._call_x_symbols(W, consts)
+        return _chain_next_state(cfg, state, zeta_new, psi_ys, carry)
+
+    return to_internal, step, to_external
+
+
+def _resolve_step_chain(cfg: ModelConfig) -> bool:
+    if cfg.step_chain != "auto":
+        return cfg.step_chain == "on"
+    return _YFUSED_IN_AUTO
 
 
 def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
@@ -392,6 +481,30 @@ def _run_scan(step_fn, state: State, n_steps: int) -> State:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 4))
+def _run_chain(ti, st, te, state: State, n_steps: int) -> State:
+    """n_steps of the y-fused chain under one jit: convert psi to its
+    internal y-spectral form, scan, convert back."""
+    def body(s, _):
+        return st(s), None
+    out, _ = jax.lax.scan(body, ti(state), None, length=n_steps)
+    return te(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 4, 5))
+def _run_chain_trajectory(ti, st, te, state: State, n_chunks: int,
+                          sample_every: int):
+    def outer(s, _):
+        def body(x, _):
+            return st(x), None
+        s2, _ = jax.lax.scan(body, s, None, length=sample_every)
+        ext = te(s2)
+        return s2, (ext.zeta, ext.psi)
+
+    final, (zs, ps) = jax.lax.scan(outer, ti(state), None, length=n_chunks)
+    return te(final), zs, ps
+
+
 class QGModel:
     """Convenience wrapper bundling config, jitted step, and multi-step runs.
 
@@ -403,6 +516,9 @@ class QGModel:
         self.cfg = cfg
         self._step_fn = make_step_fn(cfg)
         self.step = jax.jit(self._step_fn)
+        # Multi-step runs use the y-fused three-kernel chain when resolved on
+        # and supported (single external steps stay on the plain step fn).
+        self._chain = make_chain_fns(cfg) if _resolve_step_chain(cfg) else None
 
     def init_state(self, key: Optional[Array] = None,
                    psi_init: Optional[Array] = None) -> State:
@@ -410,6 +526,9 @@ class QGModel:
 
     def run(self, state: State, n_steps: int) -> State:
         """Advance ``n_steps`` steps under one compiled ``lax.scan``."""
+        if self._chain is not None:
+            ti, st, te = self._chain
+            return _run_chain(ti, st, te, state, n_steps)
         return _run_scan(self._step_fn, state, n_steps)
 
     def run_trajectory(self, state: State, n_steps: int, sample_every: int
@@ -419,6 +538,10 @@ class QGModel:
         one sampling interval)."""
         assert n_steps % sample_every == 0
         n_chunks = n_steps // sample_every
+        if self._chain is not None:
+            ti, st, te = self._chain
+            return _run_chain_trajectory(ti, st, te, state, n_chunks,
+                                         sample_every)
 
         def outer(s, _):
             s = _run_scan(self._step_fn, s, sample_every)

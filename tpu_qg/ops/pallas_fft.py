@@ -217,12 +217,43 @@ def _chunk_dft(pairs, sign: int, scale: float = 1.0):
     return out
 
 
-def _cdot(ar, ai, br_c, bi_c, left: bool):
+def _split_bf16(x):
+    """Exact two-term bf16 split x ~= hi + lo (hi = bf16(x), lo = bf16 of the
+    residual). The dropped part is ~2^-16 relative — the same error model as
+    XLA's HIGH (bf16x3) dot strategy."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _cdot(ar, ai, br_c, bi_c, left: bool, mxu: str = "highest"):
     """Complex matmul with a compile-time constant matrix (4 real MXU dots).
 
     left=False: (rows, K) @ const (K, K) — y-direction (contract minor axis).
     left=True:  const (K, K) @ (K, cols) — x-direction (contract block rows).
+
+    mxu="highest": full f32 emulation (6 MXU passes per real dot).
+    mxu="bf16x3": manual 3-term bf16 decomposition (3 single-pass bf16 dots
+    per real dot — the in-kernel equivalent of XLA Precision.HIGH, which
+    Mosaic's dot lowering does not offer natively). Halves MXU time; error
+    ~2^-16 relative, matching the matmul-DFT tier's validated accuracy.
     """
+    if mxu == "bf16x3":
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        arh, arl = _split_bf16(ar)
+        aih, ail = _split_bf16(ai)
+        brh, brl = _split_bf16(br_c)
+        bih, bil = _split_bf16(bi_c)
+
+        def d3(xh, xl, yh, yl):
+            # x @ y ~= xh yh + xl yh + xh yl (xl yl dropped).
+            if left:
+                return dot(yh, xh) + dot(yl, xh) + dot(yh, xl)
+            return dot(xh, yh) + dot(xl, yh) + dot(xh, yl)
+
+        rr = d3(arh, arl, brh, brl) - d3(aih, ail, bih, bil)
+        ri = d3(arh, arl, bih, bil) + d3(aih, ail, brh, brl)
+        return rr, ri
     dot = functools.partial(jnp.dot, precision=_KPREC,
                             preferred_element_type=jnp.float32)
     if left:
@@ -230,7 +261,7 @@ def _cdot(ar, ai, br_c, bi_c, left: bool):
     return (dot(ar, br_c) - dot(ai, bi_c), dot(ar, bi_c) + dot(ai, br_c))
 
 
-def _build_kernel(N: int, *, axis: str, inverse: bool):
+def _build_kernel(N: int, *, axis: str, inverse: bool, mxu: str = "highest"):
     """Kernel body for one 1-D transform along ``axis`` ('y' = minor lanes,
     'x' = rows). Operands: (Gr, Gi, x) -> o; tile shapes y (2, R, N),
     x (2, N, C); G (N2, N1, N1) twiddle-folded MXU matrices."""
@@ -251,7 +282,7 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
             for b in range(N2):
                 sr, si = smalls[b]
                 orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b],
-                                 left=(axis == "x"))
+                                 left=(axis == "x"), mxu=mxu)
                 if axis == "y":
                     o_ref[0, :, b * _N1:(b + 1) * _N1] = orr
                     o_ref[1, :, b * _N1:(b + 1) * _N1] = oii
@@ -263,7 +294,7 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
             # (inverse recursive DFT, scaled 1/N2) back to natural order.
             pairs = [
                 _cdot(blk(xr, c), blk(xi, c), gr_ref[c], gi_ref[c],
-                      left=(axis == "x"))
+                      left=(axis == "x"), mxu=mxu)
                 for c in range(N2)
             ]
             outs = _chunk_dft(pairs, +1, 1.0 / N2)
@@ -277,6 +308,50 @@ def _build_kernel(N: int, *, axis: str, inverse: bool):
                     o_ref[1, b * _N1:(b + 1) * _N1, :] = si
 
     return kernel
+
+
+def make_y_tile_transform(N: int, *, inverse: bool, mxu: str = "highest"):
+    """In-kernel y-direction (lane-axis) factored DFT over VALUE tiles.
+
+    Returns ``transform(xr, xi, gr_ref, gi_ref) -> (yr, yi)`` applying the
+    same small-stage + twiddle-folded-MXU-stage 1-D transform as
+    ``_build_kernel(N, axis="y")``, but on (R, N) float32 plane values held
+    live in a surrounding kernel (the fused step kernel transforms its psi
+    input / zeta output tiles without an extra HBM pass). Identical op
+    sequence per lane block to the standalone y-kernel, so results match it
+    exactly. G refs/arrays as produced by ``y_plan_arrays``.
+    """
+    N2, _, _, _ = _plan(N, "y", inverse)
+
+    def blk(arr, j):
+        return arr[:, j * _N1:(j + 1) * _N1]
+
+    def transform(xr, xi, gr_ref, gi_ref):
+        if not inverse:
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            outs = [
+                _cdot(sr, si, gr_ref[b], gi_ref[b], left=False, mxu=mxu)
+                for b, (sr, si) in enumerate(smalls)
+            ]
+        else:
+            pairs = [
+                _cdot(blk(xr, c), blk(xi, c), gr_ref[c], gi_ref[c],
+                      left=False, mxu=mxu)
+                for c in range(N2)
+            ]
+            outs = _chunk_dft(pairs, +1, 1.0 / N2)
+        return (jnp.concatenate([r for r, _ in outs], axis=-1),
+                jnp.concatenate([im for _, im in outs], axis=-1))
+
+    return transform
+
+
+def y_plan_arrays(N: int, inverse: bool):
+    """(Gr, Gi) twiddle-folded MXU constant stacks for a y-direction
+    transform, as jnp arrays (shape (N2, 128, 128) float32)."""
+    _, _, gr, gi = _plan(N, "y", inverse)
+    return jnp.asarray(gr), jnp.asarray(gi)
 
 
 def _perm_matrices():
@@ -331,7 +406,7 @@ def _symbols_for_block(M: int, P: int, c, j, consts):
     return ar, ai, br, bi
 
 
-def _build_symbol_inv_x_kernel(M: int, P: int, consts):
+def _build_symbol_inv_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
     """Inverse-x kernel with the packed-inversion symbol stage fused in.
 
     Operands (per 128-column strip j of the permuted spectrum W):
@@ -380,7 +455,8 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts):
             wr_, wi_ = blk(wjr, c), blk(wji, c)
             vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
             vi = aib * wr_ + arb * wi_ + bib * wnr - brb * wni
-            pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True))
+            pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True,
+                               mxu=mxu))
 
         outs = _chunk_dft(pairs, +1, 1.0 / N2)
         for b in range(N2):
@@ -391,7 +467,8 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts):
     return kernel
 
 
-def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None):
+def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None,
+                       mxu: str = "highest"):
     """Streaming x-transform kernel: grid over 128-column strips with manual
     HBM DMA — input strips double-buffered (strip i+1's fetch overlaps strip
     i's compute), output staged through one VMEM buffer whose store-DMA
@@ -470,7 +547,8 @@ def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None):
                                  for s in range(N2)], -1)
             for b in range(N2):
                 sr, si = smalls[b]
-                orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b], left=True)
+                orr, oii = _cdot(sr, si, gr_ref[b], gi_ref[b], left=True,
+                                 mxu=mxu)
                 stage[0, b * _N1:(b + 1) * _N1, :] = orr
                 stage[1, b * _N1:(b + 1) * _N1, :] = oii
         else:
@@ -490,7 +568,8 @@ def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None):
                     ar, ai, br, bi = _symbols_for_block(M, P, c, i, consts)
                     vr, vi = (ar * vr - ai * vi + br * wnr + bi * wni,
                               ai * vr + ar * vi + bi * wnr - br * wni)
-                pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True))
+                pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True,
+                                   mxu=mxu))
             outs = _chunk_dft(pairs, +1, 1.0 / N2)
             for b in range(N2):
                 sr, si = outs[b]
@@ -538,12 +617,14 @@ class PlanarFFT2:
     """
 
     def __init__(self, M: int, P: int, interpret: bool = False,
-                 stream_x: bool = None):
+                 stream_x: bool = None, mxu: str = "highest"):
         if not planar_fft2_fits(M, P):
             raise ValueError(f"PlanarFFT2 unsupported for {(M, P)}: each "
                              "extent must be 128 * N2 with N2 <= 64 and the "
                              "kernels must fit the scoped-VMEM budget")
+        assert mxu in ("highest", "bf16x3"), mxu
         self.M, self.P = M, P
+        self._mxu = mxu
         # Mosaic only targets TPU; everywhere else run the kernels in
         # interpret mode (tests, CPU oracles).
         self.interpret = interpret or jax.default_backend() != "tpu"
@@ -556,8 +637,10 @@ class PlanarFFT2:
         self._C = _pick_cols(M, P)
         self._kern, self._G = {}, {}
         for inv in (False, True):
-            self._kern[("y", inv)] = _build_kernel(P, axis="y", inverse=inv)
-            self._kern[("x", inv)] = _build_kernel(M, axis="x", inverse=inv)
+            self._kern[("y", inv)] = _build_kernel(P, axis="y", inverse=inv,
+                                                   mxu=mxu)
+            self._kern[("x", inv)] = _build_kernel(M, axis="x", inverse=inv,
+                                                   mxu=mxu)
             _, _, gry, giy = _plan(P, "y", inv)
             _, _, grx, gix = _plan(M, "x", inv)
             self._G[("y", inv)] = (jnp.asarray(gry), jnp.asarray(giy))
@@ -589,7 +672,7 @@ class PlanarFFT2:
         key = ("stream", inverse, consts)
         if key not in self._sym_kern_cache:
             self._sym_kern_cache[key] = _build_streaming_x(
-                M, P, inverse=inverse, consts=consts)
+                M, P, inverse=inverse, consts=consts, mxu=self._mxu)
         fuse = consts is not None
         gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j: (0, 0, 0))
         return pl.pallas_call(
@@ -642,7 +725,7 @@ class PlanarFFT2:
         gr, gi = self._G[("x", True)]
         if consts not in self._sym_kern_cache:
             self._sym_kern_cache[consts] = _build_symbol_inv_x_kernel(
-                M, P, consts)
+                M, P, consts, mxu=self._mxu)
         n2x = gr.shape[0]
         n2y = P // _N1
         gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j: (0, 0, 0))

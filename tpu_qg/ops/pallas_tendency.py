@@ -742,6 +742,232 @@ def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
     return zeta_new, tend
 
 
+# ---------------------------------------------------------------------------
+# v5: v4 + the inversion's y-direction transforms folded in. The psi input
+# arrives in PERMUTED y-SPECTRAL form (the symbol+inverse-x kernel's output,
+# i.e. the inversion minus its final inverse-y pass) and is inverse-y
+# transformed in-VMEM before the stencils; the updated zeta tile is
+# forward-y transformed in-VMEM into a third output, feeding the forward-x
+# kernel directly. With the fused symbol stage this makes the whole step
+# THREE kernel HBM passes (step+y-transforms, forward-x, symbol+inverse-x)
+# instead of five — the standalone forward-y and inverse-y field passes
+# disappear. Rows transform independently in y, so the halo rows fetched for
+# the stencils are inverse-transformed by the same op sequence the standalone
+# y-kernel would apply — results are identical per row.
+# ---------------------------------------------------------------------------
+
+_VMEM_LIMIT_YF = 96 * 1024 * 1024
+_PARAMS_YF = None
+
+
+def _params_yf():
+    global _PARAMS_YF
+    if _PARAMS_YF is None:
+        _PARAMS_YF = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_YF)
+    return _PARAMS_YF
+
+
+def _yfused_kernel(cfg: ModelConfig, T: int, M: int, ytrans_inv, ytrans_fwd,
+                   step_ref,
+                   gyi_r_hbm, gyi_i_hbm, gyf_r_hbm, gyf_i_hbm,
+                   zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+                   zeta_new_ref, tend_ref, zys_ref,
+                   zeta_buf, psi_buf, f1_buf, f2_buf,
+                   gyi_r_s, gyi_i_s, gyf_r_s, gyf_i_s, sems, gsems):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    L = tend_ref.shape[0]
+
+    # The G constant stacks are DMA'd ONCE (grid steps run sequentially on
+    # the core, so VMEM scratch persists) — a BlockSpec operand would re-fetch
+    # ~4 MB from HBM on every tile.
+    g_pairs = ((gyi_r_hbm, gyi_r_s), (gyi_i_hbm, gyi_i_s),
+               (gyf_r_hbm, gyf_r_s), (gyf_i_hbm, gyf_i_s))
+
+    @pl.when(i == 0)
+    def _():
+        cps = [pltpu.make_async_copy(hbm, vmem, gsems.at[k])
+               for k, (hbm, vmem) in enumerate(g_pairs)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    def halo_ops(j, slot, fld):
+        hbm, buf = (zeta_hbm, zeta_buf) if fld == 0 else (psi_hbm, psi_buf)
+        return _make_halo_fetch_ops(T, M, n, j, hbm, buf.at[slot],
+                                    sems.at[slot, 2 * fld],
+                                    sems.at[slot, 2 * fld + 1])
+
+    def center_ops(j, slot, fld):
+        hbm, buf = (f1_hbm, f1_buf) if fld == 0 else (f2_hbm, f2_buf)
+        return [(None, lambda: [pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(j * T, 8), T), :],
+            buf.at[slot], sems.at[slot, 4 + fld])])]
+
+    has_f2 = cfg.time_scheme == "euler_ab3"
+
+    def all_ops(j, slot):
+        ops = (halo_ops(j, slot, 0) + halo_ops(j, slot, 1)
+               + center_ops(j, slot, 0))
+        if has_f2:
+            ops += center_ops(j, slot, 1)
+        return ops
+
+    def _foreach(j, slot, action):
+        for cond, thunk in all_ops(j, slot):
+            if cond is None:
+                for cp in thunk():
+                    action(cp)
+            else:
+                @pl.when(cond)
+                def _(thunk=thunk):
+                    for cp in thunk():
+                        action(cp)
+
+    two = jnp.asarray(2, i.dtype)
+    slot = jax.lax.rem(i, two)
+
+    @pl.when(i == 0)
+    def _():
+        _foreach(0, 0, lambda cp: cp.start())
+
+    @pl.when(i + 1 < n)
+    def _():
+        _foreach(i + 1, jax.lax.rem(i + 1, two), lambda cp: cp.start())
+
+    _foreach(i, slot, lambda cp: cp.wait())
+
+    def load(buf, plane):
+        return buf[pl.ds(slot, 1), plane][0]
+
+    # psi arrives y-spectral (planes = Re, Im of the packed psi_1 + i psi_2
+    # field); inverse-y it in-VMEM — halo rows included — to the natural
+    # per-layer streamfunction the stencils consume.
+    psi_nat = ytrans_inv(load(psi_buf, 0), load(psi_buf, 1),
+                         gyi_r_s, gyi_i_s)
+
+    tends = [
+        _layer_tendency_shared(cfg, T, layer, load(zeta_buf, layer),
+                               psi_nat[layer])
+        for layer in range(L)
+    ]
+
+    z_new = []
+    for layer in range(L):
+        f1_t = load(f1_buf, layer)
+        f2_t = load(f2_buf, layer) if has_f2 else None
+        zc = load(zeta_buf, layer)[_H:_H + T, :]
+        zn, carry = _apply_update(cfg, step_ref, tends[layer], zc, f1_t, f2_t)
+        z_new.append(zn)
+        zeta_new_ref[layer] = zn
+        tend_ref[layer] = carry
+
+    # Forward-y the updated packed field w = zeta_1 + i zeta_2 in-VMEM: the
+    # third output IS the inversion's y-spectrum, feeding the forward-x
+    # kernel without a standalone forward-y field pass.
+    zr, zi = ytrans_fwd(z_new[0], z_new[1], gyf_r_s, gyf_i_s)
+    zys_ref[0] = zr
+    zys_ref[1] = zi
+
+
+def _pick_tile_yfused(M: int, P: int, L: int, itemsize: int) -> int:
+    """Tile picker for the y-fused kernel: v4's footprint plus the in-VMEM
+    y-transform temporaries (live chunk pairs + outputs, ~8 plane-rows each
+    direction), the third double-buffered output, and the G constant stacks
+    (DMA'd once into scratch)."""
+    n2y = P // 128
+    g_bytes = 4 * n2y * 128 * 128 * 4
+    budget = int(0.70 * _VMEM_LIMIT_YF) - g_bytes
+    T = M
+    while T > 8:
+        rows = (L * (4 * (T + 2 * _H) + 4 * T + 6 * T)
+                + 16 * T + 8 * (T + 2 * _H) + 8 * T)
+        # The streamed double-buffer pipeline needs at least two tiles.
+        if P * itemsize * rows <= budget and M % T == 0 and M // T >= 2:
+            return T
+        T //= 2
+    return T
+
+
+def yfused_supported(cfg: ModelConfig, dtype) -> bool:
+    """The y-fused step kernel needs the two-layer planar packing, f32,
+    Pallas-FFT-supported y extent, and a multi-tile streamed grid."""
+    from .pallas_fft import pallas_fft_supported
+    if cfg.n_layers != 2 or jnp.dtype(dtype).itemsize != 4:
+        return False
+    if cfg.P % 128 != 0 or cfg.M % 8 != 0:
+        return False
+    if not pallas_fft_supported(cfg.P):
+        return False
+    T = _pick_tile_yfused(cfg.M, cfg.P, cfg.n_layers, 4)
+    return T >= 8 and cfg.M // T >= 2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def fused_step_streamed_yspec(cfg: ModelConfig, zeta: Array, psi_ys: Array,
+                              f1: Array, f2: Array, step: Array,
+                              mxu: str = "highest",
+                              interpret: bool = False, tile: int = 0):
+    """v5 kernel dispatch: tendency + time update with the psi input consumed
+    in permuted y-spectral form and the updated zeta emitted both natural and
+    y-spectral. Returns (zeta_new, tend, zeta_ys)."""
+    from .pallas_fft import make_y_tile_transform, y_plan_arrays
+
+    L, M, P = zeta.shape
+    dtype = zeta.dtype
+    assert L == 2
+    T = tile or _pick_tile_yfused(M, P, L, dtype.itemsize)
+    n2y = P // 128
+
+    ytrans_inv = make_y_tile_transform(P, inverse=True, mxu=mxu)
+    ytrans_fwd = make_y_tile_transform(P, inverse=False, mxu=mxu)
+
+    gyi_r, gyi_i = y_plan_arrays(P, True)
+    gyf_r, gyf_i = y_plan_arrays(P, False)
+
+    kernel = functools.partial(_yfused_kernel, cfg, T, M,
+                               ytrans_inv, ytrans_fwd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 8,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    zeta_new, tend, zeta_ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+            jax.ShapeDtypeStruct((L, M, P), dtype),
+        ),
+        interpret=interpret,
+        compiler_params=_params_yf(),
+    )(jnp.asarray(step, jnp.int32).reshape(1),
+      gyi_r, gyi_i, gyf_r, gyf_i, zeta, psi_ys, f1, f2)
+    return zeta_new, tend, zeta_ys
+
+
 def _pick_tile_v3(M: int, P: int, L: int, itemsize: int) -> int:
     """Tile picker for the v3 kernel: v2's footprint minus the modes output,
     plus the six column-rotated slabs held live per layer."""

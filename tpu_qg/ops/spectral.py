@@ -254,10 +254,10 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
 
     def __init__(self, M: int, P: int, dx: float, alpha2: float,
                  P_inv, P_back, interpret: bool = False,
-                 fuse_symbols: bool = True):
+                 fuse_symbols: bool = True, mxu: str = "highest"):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
         from .pallas_fft import PlanarFFT2, symbol_inverse_fits
-        self._pfft = PlanarFFT2(M, P, interpret=interpret)
+        self._pfft = PlanarFFT2(M, P, interpret=interpret, mxu=mxu)
         self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
         if self._fuse:
             # Hashable scalar constants from which the kernel rebuilds the
