@@ -36,13 +36,21 @@ import time
 # Reference: M=256, 1 model-day, dt=60 min => 24 steps in 5.141 s (1 CPU core).
 _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 
-# mode -> (use_pallas, fft_impl). fft_impl is ALWAYS pinned explicitly so a
-# bad "auto" resolution can never leak a broken transform into a fallback tier.
+# mode -> ModelConfig overrides. fft_impl is ALWAYS pinned explicitly so a
+# bad "auto" resolution can never leak a broken transform into a fallback
+# tier. The "pallas" tier leaves fft_mxu/step_chain on "auto" so it follows
+# the hardware gates in models/core; the explicit tiers pin them for
+# decomposition measurements.
 _MODES = {
-    "pallas": (True, "pallas"),
-    "matmul": (True, "matmul"),
-    "xla": (True, "xla"),
-    "plain": (False, "xla"),
+    "pallas": dict(use_pallas=True, fft_impl="pallas"),
+    "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                          fft_mxu="bf16x3", step_chain="off"),
+    "pallas-hi": dict(use_pallas=True, fft_impl="pallas",
+                      fft_mxu="highest", step_chain="off"),
+    "matmul": dict(use_pallas=True, fft_impl="matmul"),
+    "xla": dict(use_pallas=True, fft_impl="xla"),
+    "plain": dict(use_pallas=False, fft_impl="xla"),
 }
 
 
@@ -58,11 +66,10 @@ def bench(mode: str, M=2048, P=2048, steps_per_chunk=50, reps=4):
     from tpu_qg.constants import KM
     from tpu_qg.models.core import QGModel, init_state
 
-    use_pallas, fft_impl = _MODES[mode]
     cfg = ModelConfig(
         M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM,
         dt=60.0, T=3600.0, dtype="float32",
-        use_pallas=use_pallas, fft_impl=fft_impl,
+        **_MODES[mode],
     )
     model = QGModel(cfg)
     state = init_state(cfg, key=jax.random.PRNGKey(0))
@@ -135,7 +142,10 @@ def main():
         print(result_line(bench(args.mode, M=args.M, P=args.P), args.M, args.P))
         return
 
-    for mode in ("pallas", "matmul", "xla"):
+    # "pallas" follows the hardware gates (may include the y-fused chain and
+    # bf16x3); "pallas-hi" is the round-2-validated fused config pinned, so a
+    # gated-in experiment failing can never cost more than one tier.
+    for mode in ("pallas", "pallas-hi", "matmul", "xla"):
         line = _try_subprocess(mode, args.tier_timeout)
         if line is not None:
             print(line)
