@@ -21,8 +21,9 @@ its own timeboxed subprocess — and falls through on ANY failure:
     xla     fused Pallas tendency kernel + jnp.fft inversion
     plain   no Pallas anywhere, jnp.fft inversion (maximum-safety oracle path)
 
-The final 'plain' tier also runs inline under try/except, and a JSON line is
-ALWAYS printed (value 0.0 only if every tier failed, which would mean the
+The final 'plain' tier is timeboxed in a subprocess like the others (a tunnel
+hang in the remote compile RPC cannot be interrupted inline), and a JSON line
+is ALWAYS printed (value 0.0 only if every tier failed, which would mean the
 chip itself is unreachable). `python bench.py --mode <tier>` runs one tier
 inline.
 """
@@ -44,6 +45,8 @@ _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 _MODES = {
     "pallas": dict(use_pallas=True, fft_impl="pallas"),
     "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                         fft_mxu="bf16x3", step_chain="on"),
     "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",
                           fft_mxu="bf16x3", step_chain="off"),
     "pallas-hi": dict(use_pallas=True, fft_impl="pallas",
@@ -151,12 +154,12 @@ def main():
             print(line)
             return
 
-    # Last resort: maximum-safety path inline, guarded; ALWAYS print JSON.
-    try:
-        print(result_line(bench("plain")))
-    except Exception as e:  # noqa: BLE001 - the headline must never crash
-        print(f"[bench] plain tier failed: {e!r}", file=sys.stderr)
-        print(result_line(0.0))
+    # Last resort: maximum-safety path, still timeboxed in a subprocess — a
+    # tunnel hang during the plain compile cannot be interrupted inline
+    # (processes blocked in the remote compile RPC ignore signals), and the
+    # headline JSON must ALWAYS be printed.
+    line = _try_subprocess("plain", args.tier_timeout)
+    print(line if line is not None else result_line(0.0))
 
 
 if __name__ == "__main__":

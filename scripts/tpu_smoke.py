@@ -36,7 +36,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:  # `python scripts/...` puts scripts/ first, not REPO
     sys.path.insert(0, REPO)
-ORACLE_NPY = "/tmp/tpu_smoke_oracle_{M}x{P}_s{steps}.npy"
+# The oracle cache is keyed by git revision as well as shape/steps so a
+# variant-only smoke run can never compare against an oracle produced by an
+# older commit's plain path (ADVICE.md round 2) — gate evidence requires the
+# plain oracle from the SAME revision.
+ORACLE_NPY = "/tmp/tpu_smoke_oracle_{rev}_{M}x{P}_s{steps}.npy"
+
+
+def _git_rev() -> str:
+    return subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
 
 # variant -> ModelConfig overrides
 VARIANTS = {
@@ -93,7 +102,7 @@ def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
     rec["compile_and_run_s"] = round(time.perf_counter() - t0, 2)
 
     rec["finite"] = bool(np.isfinite(zeta).all())
-    oracle_path = ORACLE_NPY.format(M=M, P=P, steps=steps)
+    oracle_path = ORACLE_NPY.format(rev=_git_rev(), M=M, P=P, steps=steps)
     if variant == "plain":
         np.save(oracle_path, zeta)
         rec["max_rel_diff_vs_plain"] = 0.0
@@ -133,8 +142,7 @@ def main():
             run_inner(args.inner, args.M, args.P, args.steps)))
         return
 
-    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                         capture_output=True, text=True).stdout.strip()
+    rev = _git_rev()
     size = "" if (args.M, args.P) == (2048, 2048) else f"_{args.M}x{args.P}"
     out_path = os.path.join(REPO, "results", f"tpu_smoke_{rev}{size}.json")
     records = []

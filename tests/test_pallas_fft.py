@@ -157,8 +157,12 @@ def test_fused_symbol_inverse_matches_unfused():
         assert fused._fuse and not plain._fuse
         got = np.asarray(fused(zeta))
         ref = np.asarray(plain(zeta))
+        # The fused path's mirror permutations go through _pdot (two-pass
+        # exact-split bf16, pinned ~2^-16 relative budget independent of
+        # Mosaic's default dot lowering — ADVICE.md round 2), so the fused
+        # and unfused spectra differ at that level, not at f32 roundoff.
         np.testing.assert_allclose(got, ref, rtol=0,
-                                   atol=2e-6 * np.abs(ref).max(),
+                                   atol=4e-5 * np.abs(ref).max(),
                                    err_msg=f"{(M, P)}")
 
 
