@@ -214,3 +214,174 @@ def test_halo_overlap_small_tile_fallback():
     scale = np.abs(np.asarray(ref.zeta)).max()
     np.testing.assert_allclose(np.asarray(s.zeta), np.asarray(ref.zeta),
                                rtol=0, atol=1e-12 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused sharded path (round-3: the sharded step on the same fused
+# kernels as the single-chip default — tpu_qg.parallel.packed + the sharded
+# v4 streamed kernel). All kernels run in interpret mode on the CPU mesh.
+
+
+def fused_cfg(**kw):
+    base = dict(
+        H_1=1.0 * KM, H_2=2.0 * KM, beta=2e-11,
+        Lx=4000.0 * KM, Ly=4000.0 * KM,
+        dt=60.0 * MINUTES, T=1.0 * YEAR, U=0.1,
+        M=256, P=256, visc=100.0, r=1e-7, R_d=40.0 * KM,
+        initial_kick=1e-6, dtype="float32",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _unsharded_fused_step(cfg):
+    """Single-device interpret-mode oracle on the SAME kernels: v4 streamed
+    step + fused-symbol Pallas-DFT packed inversion (the single-chip default
+    TPU path)."""
+    from tpu_qg.models.core import State
+    from tpu_qg.ops.pallas_tendency import fused_step_streamed
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    inverter = PackedModalInverterPallasFFT(
+        cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), interpret=True)
+    assert inverter._fuse
+
+    def step(state):
+        zeta_new, carry = fused_step_streamed(
+            cfg, state.zeta, state.psi, state.f1, state.f2, state.step, True)
+        psi_new = inverter(zeta_new)
+        if cfg.time_scheme == "leapfrog_ra":
+            return State(zeta_new, psi_new, carry, state.f2, state.step + 1)
+        return State(zeta_new, psi_new, carry, state.f1, state.step + 1)
+
+    return step
+
+
+@pytest.mark.parametrize("nx,M,P", [(2, 256, 256), (4, 256, 512),
+                                    (8, 128, 1024)])
+def test_distributed_packed_inverter_matches_single(nx, M, P):
+    """The sharded packed inversion (local Pallas kernels + all_to_all
+    transposes) matches the single-chip fused inverter: identical kernels on
+    identical data, so agreement is to f32 roundoff."""
+    from jax.sharding import PartitionSpec as Pspec
+    from tpu_qg.parallel.packed import (DistributedPackedInverter,
+                                        distributed_packed_supported)
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    cfg = fused_cfg(M=M, P=P)
+    assert distributed_packed_supported(M, P, nx)
+    rng = np.random.default_rng(3)
+    zeta = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+
+    single = PackedModalInverterPallasFFT(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), interpret=True)
+    assert single._fuse
+    ref = np.asarray(single(zeta))
+
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+    dist = DistributedPackedInverter(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), axis_x="x", interpret=True)
+    f = jax.jit(jax.shard_map(
+        dist, mesh=mesh, in_specs=(Pspec(None, "x", None),),
+        out_specs=Pspec(None, "x", None), check_vma=False))
+    got = np.asarray(f(zeta))
+
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6 * scale)
+
+
+@pytest.mark.parametrize("nx", [2, 4])
+def test_fused_halo_step_matches_unsharded_fused(nx):
+    """The fused sharded step (ppermute halo slabs -> sharded v4 kernel ->
+    distributed packed inversion) reproduces the single-chip fused step."""
+    from tpu_qg.parallel.stepper import fused_halo_supported, make_halo_step_fn
+
+    cfg = fused_cfg(M=256, P=128 * max(2, nx), wind_tau0=0.05)
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+    assert fused_halo_supported(cfg, mesh)
+
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ref = init_state(cfg, psi_init=psi0)
+    oracle = _unsharded_fused_step(cfg)
+    for _ in range(3):
+        ref = oracle(ref)
+
+    step = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    assert int(s.step) == 3
+
+    for name in ("zeta", "psi", "f1"):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5 * scale,
+                                   err_msg=name)
+
+
+def test_fused_halo_step_leapfrog():
+    """Scheme coverage: the leapfrog-RA carry (filtered zeta) flows through
+    the sharded kernel identically to the single-chip fused path."""
+    from tpu_qg.parallel.stepper import make_halo_step_fn
+
+    cfg = fused_cfg(M=256, P=512, time_scheme="leapfrog_ra")
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ref = init_state(cfg, psi_init=psi0)
+    oracle = _unsharded_fused_step(cfg)
+    for _ in range(3):
+        ref = oracle(ref)
+
+    step = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    for name in ("zeta", "psi", "f1"):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5 * scale,
+                                   err_msg=name)
+
+
+def test_fused_halo_vs_generic_path():
+    """Cross-check against the INDEPENDENT generic sharded implementation
+    (roll stencils + jnp.fft distributed solve): different algorithms, same
+    math -> agreement at f32 kernel tolerance over a few steps."""
+    from tpu_qg.parallel.stepper import make_halo_step_fn
+
+    cfg = fused_cfg(M=256, P=512)
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    psi0 = _psi_init(cfg).astype(np.float32)
+
+    fused = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    plain = make_halo_step_fn(cfg, mesh, donate=False, fused=False)
+    sf = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    sp = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        sf, sp = fused(sf), plain(sp)
+    scale = np.abs(np.asarray(sp.zeta)).max()
+    np.testing.assert_allclose(np.asarray(sf.zeta), np.asarray(sp.zeta),
+                               rtol=0, atol=2e-4 * scale)
+
+
+def test_fused_halo_gate():
+    """fused_halo_supported rejects what the kernels can't shard."""
+    from tpu_qg.parallel.stepper import fused_halo_supported
+
+    ok = fused_cfg(M=256, P=512)
+    dev4 = jax.devices()[:4]
+    assert fused_halo_supported(ok, make_mesh((4, 1), devices=dev4))
+    # P that does not split into whole strips per chip is rejected.
+    assert not fused_halo_supported(fused_cfg(M=256, P=256),
+                                    make_mesh((4, 1), devices=dev4))
+    # 2-D meshes shard y — the kernels need full lanes.
+    assert not fused_halo_supported(ok, make_mesh((2, 4)))
+    # P must split into whole 128-lane strips per chip.
+    assert not fused_halo_supported(fused_cfg(M=256, P=128),
+                                    make_mesh((4, 1), devices=dev4))
+    # f64 never routes to the fused kernels.
+    assert not fused_halo_supported(fused_cfg(P=512, dtype="float64"),
+                                    make_mesh((4, 1), devices=dev4))

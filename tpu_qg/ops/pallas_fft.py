@@ -226,6 +226,25 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _pdot(x, p, left: bool = False):
+    """Permutation matmul (compile-time 0/1 matrix ``p``) with a PINNED,
+    Mosaic-default-independent error model: two single-pass bf16 dots over an
+    exact hi/lo bf16 split of x (``_split_bf16``). 0/1 weights are exact in
+    bf16 and every output element has a single nonzero product, so the result
+    is perm(hi) + perm(lo) with relative error ~2^-16 from the dropped split
+    residual — the same budget as the kernels' bf16x3 MXU stage. (A plain
+    bf16 dot is NOT exact for permutations: it rounds the *values* to 8
+    mantissa bits, ~2^-9 relative; leaving precision=DEFAULT made the default
+    inversion path's accuracy depend on Mosaic's default dot lowering —
+    ADVICE.md round 2.)"""
+    hi, lo = _split_bf16(x)
+    pb = p.astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if left:
+        return dot(pb, hi) + dot(pb, lo)
+    return dot(hi, pb) + dot(lo, pb)
+
+
 def _cdot(ar, ai, br_c, bi_c, left: bool, mxu: str = "highest"):
     """Complex matmul with a compile-time constant matrix (4 real MXU dots).
 
@@ -360,8 +379,9 @@ def _perm_matrices():
     Jflip for blocks k2 > 0 (k1 -> N1-1-k1) and Jroll for the k2 == 0 block
     (k1 -> (-k1) % N1). Both are symmetric, so one matrix serves row
     (left-multiply) and column (right-multiply) permutation. Permutation
-    matmuls are exact at any precision: each output element is a sum with a
-    single nonzero product of a 0/1 weight."""
+    matmuls go through ``_pdot`` (two-pass exact-split bf16) so their ~2^-16
+    error budget is pinned rather than inherited from Mosaic's default dot
+    lowering."""
     r = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (_N1, _N1), 1)
     jflip = (r + c == _N1 - 1).astype(jnp.float32)
@@ -424,8 +444,6 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
     inversion.
     """
     N2, _, _, _ = _plan(M, "x", True)
-    pdot = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
-                             preferred_element_type=jnp.float32)
 
     def kernel(gr_ref, gi_ref, wj_ref, wm_ref, o_ref):
         j = pl.program_id(0)
@@ -433,8 +451,8 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
         # y-direction (lane) negation of the mirror strip: strip 0 is its own
         # mirror and uses the roll-flip mapping, all others plain flip.
         jlane = jnp.where(j == 0, jroll, jflip)
-        wmr = pdot(wm_ref[0], jlane)        # (M, 128), lanes permuted
-        wmi = pdot(wm_ref[1], jlane)
+        wmr = _pdot(wm_ref[0], jlane)       # (M, 128), lanes permuted
+        wmi = _pdot(wm_ref[1], jlane)
 
         wjr, wji = wj_ref[0], wj_ref[1]
 
@@ -447,10 +465,64 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
             # (-c) % N2 with an intra-block flip (roll-flip for block 0).
             r = (-c) % N2
             jrow = jroll if c == 0 else jflip
-            wnr = pdot(jrow, blk(wmr, r))
-            wni = pdot(jrow, blk(wmi, r))
+            wnr = _pdot(blk(wmr, r), jrow, left=True)
+            wni = _pdot(blk(wmi, r), jrow, left=True)
             # V = A W + B conj(W(-k)) on the planes (same expansion as
             # ops/spectral.py PackedModalInverterPallasFFT.__call__).
+            arb, aib, brb, bib = _symbols_for_block(M, P, c, j, consts)
+            wr_, wi_ = blk(wjr, c), blk(wji, c)
+            vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
+            vi = aib * wr_ + arb * wi_ + bib * wnr - brb * wni
+            pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True,
+                               mxu=mxu))
+
+        outs = _chunk_dft(pairs, +1, 1.0 / N2)
+        for b in range(N2):
+            sr, si = outs[b]
+            o_ref[0, b * _N1:(b + 1) * _N1, :] = sr
+            o_ref[1, b * _N1:(b + 1) * _N1, :] = si
+
+    return kernel
+
+
+def _build_symbol_inv_x_kernel_offset(M: int, P: int, consts,
+                                      mxu: str = "highest"):
+    """Sharded-form fused symbol+inverse-x kernel (see
+    _build_symbol_inv_x_kernel for the single-chip form and the math).
+
+    Differences for use inside an x-sharded shard_map (the distributed packed
+    inverter, tpu_qg.parallel.packed):
+
+      * the local block holds only ``w`` of the global n2y = P/128 strips, so
+        the GLOBAL strip index is ``off_ref[0] + program_id`` (a scalar-
+        prefetch operand carrying this chip's strip offset);
+      * the mirror strip ``wm`` comes from a SEPARATE pre-mirrored operand
+        with an identity index map — the caller arranges (locally, before the
+        all_to_all transpose, where y is still complete) that strip j of that
+        operand is global strip (n2y - j_global) % n2y. The in-strip lane
+        negation and the x-direction (sublane) negation still happen here,
+        exactly as in the single-chip kernel.
+    """
+    N2, _, _, _ = _plan(M, "x", True)
+
+    def kernel(off_ref, gr_ref, gi_ref, wj_ref, wm_ref, o_ref):
+        j = off_ref[0] + pl.program_id(0)      # global strip index
+        jflip, jroll = _perm_matrices()
+        jlane = jnp.where(j == 0, jroll, jflip)
+        wmr = _pdot(wm_ref[0], jlane)
+        wmi = _pdot(wm_ref[1], jlane)
+
+        wjr, wji = wj_ref[0], wj_ref[1]
+
+        def blk(a, c):
+            return a[c * _N1:(c + 1) * _N1, :]
+
+        pairs = []
+        for c in range(N2):
+            r = (-c) % N2
+            jrow = jroll if c == 0 else jflip
+            wnr = _pdot(blk(wmr, r), jrow, left=True)
+            wni = _pdot(blk(wmi, r), jrow, left=True)
             arb, aib, brb, bib = _symbols_for_block(M, P, c, j, consts)
             wr_, wi_ = blk(wjr, c), blk(wji, c)
             vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
@@ -484,8 +556,6 @@ def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None,
     fuse = consts is not None
     assert not fuse or inverse
     n2y = P // _N1
-    pdot = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
-                             preferred_element_type=jnp.float32)
 
     def kernel(gr_ref, gi_ref, x_hbm, o_ref, in_buf, wm_buf, stage, sems):
         i = pl.program_id(0)
@@ -555,16 +625,16 @@ def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None,
             if fuse:
                 jflip, jroll = _perm_matrices()
                 jlane = jnp.where(i == 0, jroll, jflip)
-                wmr = pdot(load(wm_buf, 0), jlane)
-                wmi = pdot(load(wm_buf, 1), jlane)
+                wmr = _pdot(load(wm_buf, 0), jlane)
+                wmi = _pdot(load(wm_buf, 1), jlane)
             pairs = []
             for c in range(N2):
                 vr, vi = blk(xr, c), blk(xi, c)
                 if fuse:
                     r = (-c) % N2
                     jrow = jroll if c == 0 else jflip
-                    wnr = pdot(jrow, blk(wmr, r))
-                    wni = pdot(jrow, blk(wmi, r))
+                    wnr = _pdot(blk(wmr, r), jrow, left=True)
+                    wni = _pdot(blk(wmi, r), jrow, left=True)
                     ar, ai, br, bi = _symbols_for_block(M, P, c, i, consts)
                     vr, vi = (ar * vr - ai * vi + br * wnr + bi * wni,
                               ai * vr + ar * vi + bi * wnr - br * wni)
@@ -648,17 +718,22 @@ class PlanarFFT2:
         self._sym_kern_cache = {}
 
     def _call_y(self, z: Array, inverse: bool) -> Array:
-        M, P, R = self.M, self.P, self._R
+        # Row count follows the operand, not the constructor's M: inside a
+        # row-sharded shard_map the local block is (2, M/nx, P) and the
+        # y-transform is row-independent, so the same kernel serves any row
+        # count that tiles.
+        rows, P = z.shape[1], self.P
+        R = self._R if rows % self._R == 0 else _pick_rows(rows, P)
         gr, gi = self._G[("y", inverse)]
         n2 = gr.shape[0]
         gspec = pl.BlockSpec((n2, _N1, _N1), lambda i: (0, 0, 0))
         return pl.pallas_call(
             self._kern[("y", inverse)],
-            grid=(M // R,),
+            grid=(rows // R,),
             in_specs=[gspec, gspec,
                       pl.BlockSpec((2, R, P), lambda i: (0, i, 0))],
             out_specs=pl.BlockSpec((2, R, P), lambda i: (0, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
@@ -698,17 +773,21 @@ class PlanarFFT2:
     def _call_x(self, z: Array, inverse: bool) -> Array:
         if self._stream_x:
             return self._call_x_stream(z, inverse)
-        M, P, C = self.M, self.P, self._C
+        # Column count follows the operand (inside an x-sharded shard_map the
+        # transposed block is (2, M, P/nx)); the x-transform is
+        # column-independent so any 128-multiple width works.
+        M, cols = self.M, z.shape[2]
+        C = self._C if cols % self._C == 0 else _N1
         gr, gi = self._G[("x", inverse)]
         n2 = gr.shape[0]
         gspec = pl.BlockSpec((n2, _N1, _N1), lambda j: (0, 0, 0))
         return pl.pallas_call(
             self._kern[("x", inverse)],
-            grid=(P // C,),
+            grid=(cols // C,),
             in_specs=[gspec, gspec,
                       pl.BlockSpec((2, M, C), lambda j: (0, 0, j))],
             out_specs=pl.BlockSpec((2, M, C), lambda j: (0, 0, j)),
-            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
@@ -741,6 +820,39 @@ class PlanarFFT2:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, Z, Z)
+
+    def _call_x_symbols_offset(self, Z: Array, Zm: Array, consts,
+                               strip_offset: Array) -> Array:
+        """Sharded fused symbol multiply + inverse-x over a local column block
+        (2, M, w*128) whose first strip has GLOBAL index ``strip_offset`` (a
+        traced int32 scalar — per-chip inside shard_map). ``Zm`` is the
+        pre-mirrored companion block (strip j holds global strip
+        (n2y - (strip_offset + j)) % n2y); see
+        _build_symbol_inv_x_kernel_offset."""
+        M = self.M
+        cols = Z.shape[2]
+        gr, gi = self._G[("x", True)]
+        key = ("offset", consts)
+        if key not in self._sym_kern_cache:
+            self._sym_kern_cache[key] = _build_symbol_inv_x_kernel_offset(
+                M, self.P, consts, mxu=self._mxu)
+        n2x = gr.shape[0]
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j, s: (0, 0, 0))
+        wspec = pl.BlockSpec((2, M, _N1), lambda j, s: (0, 0, j))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cols // _N1,),
+            in_specs=[gspec, gspec, wspec, wspec],
+            out_specs=pl.BlockSpec((2, M, _N1), lambda j, s: (0, 0, j)),
+        )
+        return pl.pallas_call(
+            self._sym_kern_cache[key],
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(Z.shape, Z.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(jnp.asarray(strip_offset, jnp.int32).reshape(1), gr, gi, Z, Zm)
 
     def forward(self, z: Array) -> Array:
         """Planar (2, M, P) natural order -> planar permuted spectrum."""

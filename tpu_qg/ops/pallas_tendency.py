@@ -99,6 +99,34 @@ def _wind_layer(cfg: ModelConfig, layer: int) -> bool:
     return cfg.wind_tau0 != 0.0 and (cfg.n_layers == 1 or layer == 0)
 
 
+def _fetch_halo_blocking(T: int, M: int, n, i, hbm, vmem, sem_a, sem_b):
+    """Blocking tile-halo fetch for the non-pipelined kernels (v1-v3): start
+    every DMA for tile i's rows [i*T - H, i*T + T + H) (periodic wrap), then
+    wait. Same windows, conditions, and lazily-built thunks as the streamed
+    kernel's overlapped fetch — ``_make_halo_fetch_ops`` is the single
+    implementation of the choreography."""
+    for phase in ("start", "wait"):
+        for cond, thunk in _make_halo_fetch_ops(T, M, n, i, hbm, vmem,
+                                                sem_a, sem_b):
+            if cond is None:
+                for cp in thunk():
+                    getattr(cp, phase)()
+            else:
+                @pl.when(cond)
+                def _(thunk=thunk, phase=phase):
+                    for cp in thunk():
+                        getattr(cp, phase)()
+
+
+def _fetch_center_start(T: int, i, hbm, vmem, sem):
+    """Start the halo-free center fetch of tile i (history arrays); returns
+    the descriptor for the caller to ``.wait()``."""
+    cp = pltpu.make_async_copy(
+        hbm.at[:, pl.ds(pl.multiple_of(i * T, 8), T), :], vmem, sem)
+    cp.start()
+    return cp
+
+
 def _apply_update(cfg: ModelConfig, step_ref, tend: Array, zc: Array,
                   f1_t: Array, f2_t) -> tuple:
     """One layer's time update: (zeta_new, carry2) under cfg.time_scheme.
@@ -136,58 +164,10 @@ def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
     # the inputs): body rows [i*T - H, i*T + T + H) are fetched as up to three
     # windows — top wrap (from the array's end), body, bottom wrap (from the
     # array's start). Only edge tiles pay the extra two small DMAs.
-    def fetch(hbm, vmem, sem_a, sem_b):
-        if n == 1:
-            # Single tile covering the whole grid: wrap both ends.
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm, vmem.at[:, _H:_H + T, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
-            cp_bot.start()
-            cp_bot.wait()
-            return
-
-        first, last = i == 0, i == n - 1
-
-        @pl.when(jnp.logical_not(first | last))
-        def _():
-            start = pl.multiple_of(i * T - _H, 8)
-            cp = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
-            cp.start()
-            cp.wait()
-
-        @pl.when(first)
-        def _():
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-
-        @pl.when(last)
-        def _():
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
-                vmem.at[:, 0:T + _H, :], sem_a)
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
-            cp_body.start()
-            cp_bot.start()
-            cp_body.wait()
-            cp_bot.wait()
-
-    fetch(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
-    fetch(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+    _fetch_halo_blocking(T, M, n, i, zeta_hbm, zeta_vmem,
+                         sems.at[0], sems.at[1])
+    _fetch_halo_blocking(T, M, n, i, psi_hbm, psi_vmem,
+                         sems.at[2], sems.at[3])
 
     shift1 = _make_tile_shift(1, T)
     betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
@@ -292,69 +272,15 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     dx = cfg.dx
     inv_dx2 = 1.0 / (dx * dx)
 
-    def fetch_center(hbm, vmem, sem):
-        cp = pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(i * T, 8), T), :], vmem, sem)
-        cp.start()
-        return cp
-
-    def fetch_halo(hbm, vmem, sem_a, sem_b):
-        """Fetch rows [i*T - H, i*T + T + H) with periodic wrap (same scheme
-        as the v1 kernel)."""
-        if n == 1:
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm, vmem.at[:, _H:_H + T, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
-            cp_bot.start()
-            cp_bot.wait()
-            return
-
-        first, last = i == 0, i == n - 1
-
-        @pl.when(jnp.logical_not(first | last))
-        def _():
-            start = pl.multiple_of(i * T - _H, 8)
-            cp = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
-            cp.start()
-            cp.wait()
-
-        @pl.when(first)
-        def _():
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-
-        @pl.when(last)
-        def _():
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
-                vmem.at[:, 0:T + _H, :], sem_a)
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
-            cp_body.start()
-            cp_bot.start()
-            cp_body.wait()
-            cp_bot.wait()
-
     # Start the halo-free history fetches, then the halo fetches (which wait).
     has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
-    cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
-    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5]) if has_f2 else None
-    fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
-    fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+    cp_f1 = _fetch_center_start(T, i, f1_hbm, f1_vmem, sems.at[4])
+    cp_f2 = (_fetch_center_start(T, i, f2_hbm, f2_vmem, sems.at[5])
+             if has_f2 else None)
+    _fetch_halo_blocking(T, M, n, i, zeta_hbm, zeta_vmem,
+                         sems.at[0], sems.at[1])
+    _fetch_halo_blocking(T, M, n, i, psi_hbm, psi_vmem,
+                         sems.at[2], sems.at[3])
 
     shift1 = _make_tile_shift(1, T)
     betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
@@ -479,66 +405,14 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
 
-    def fetch_center(hbm, vmem, sem):
-        cp = pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(i * T, 8), T), :], vmem, sem)
-        cp.start()
-        return cp
-
-    def fetch_halo(hbm, vmem, sem_a, sem_b):
-        if n == 1:
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm, vmem.at[:, _H:_H + T, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_a)
-            cp_bot.start()
-            cp_bot.wait()
-            return
-
-        first, last = i == 0, i == n - 1
-
-        @pl.when(jnp.logical_not(first | last))
-        def _():
-            start = pl.multiple_of(i * T - _H, 8)
-            cp = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)
-            cp.start()
-            cp.wait()
-
-        @pl.when(first)
-        def _():
-            cp_top = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a)
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b)
-            cp_top.start()
-            cp_body.start()
-            cp_top.wait()
-            cp_body.wait()
-
-        @pl.when(last)
-        def _():
-            cp_body = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - T - _H, T + _H), :],
-                vmem.at[:, 0:T + _H, :], sem_a)
-            cp_bot = pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b)
-            cp_body.start()
-            cp_bot.start()
-            cp_body.wait()
-            cp_bot.wait()
-
     has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
-    cp_f1 = fetch_center(f1_hbm, f1_vmem, sems.at[4])
-    cp_f2 = fetch_center(f2_hbm, f2_vmem, sems.at[5]) if has_f2 else None
-    fetch_halo(zeta_hbm, zeta_vmem, sems.at[0], sems.at[1])
-    fetch_halo(psi_hbm, psi_vmem, sems.at[2], sems.at[3])
+    cp_f1 = _fetch_center_start(T, i, f1_hbm, f1_vmem, sems.at[4])
+    cp_f2 = (_fetch_center_start(T, i, f2_hbm, f2_vmem, sems.at[5])
+             if has_f2 else None)
+    _fetch_halo_blocking(T, M, n, i, zeta_hbm, zeta_vmem,
+                         sems.at[0], sems.at[1])
+    _fetch_halo_blocking(T, M, n, i, psi_hbm, psi_vmem,
+                         sems.at[2], sems.at[3])
 
     tends = [
         _layer_tendency_shared(cfg, T, layer, zeta_vmem[layer][:],
@@ -558,13 +432,38 @@ def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
         tend_ref[layer] = carry
 
 
-def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
+def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b,
+                         top_hbm=None, bot_hbm=None):
     """Build the (condition, copies_thunk) list for fetching tile j's rows
-    [j*T - H, j*T + T + H) with periodic wrap into ``vmem``. Thunks are built
-    lazily inside the taken branch only (an AsyncCopyDescriptor constructed in
-    an untaken pl.when branch logs a was-not-used error). The same list is
-    built twice per tile — once to .start() the DMAs, once to .wait() them —
-    which is what allows the fetch of tile j+1 to overlap tile j's compute."""
+    [j*T - H, j*T + T + H) into ``vmem``. Thunks are built lazily inside the
+    taken branch only (an AsyncCopyDescriptor constructed in an untaken
+    pl.when branch logs a was-not-used error). The same list is built twice
+    per tile — once to .start() the DMAs, once to .wait() them — which is
+    what allows the fetch of tile j+1 to overlap tile j's compute.
+
+    Halo source: with ``top_hbm``/``bot_hbm`` None the array is the full
+    periodic extent and edge tiles wrap around within ``hbm``; with slab
+    operands (the SHARDED form — ``hbm`` is one chip's row block) the edge
+    tiles read their halo rows from the (L, H, P) neighbor slabs the caller
+    exchanged via ppermute (tpu_qg.parallel.stepper)."""
+    sharded = top_hbm is not None
+
+    if n == 1:
+        # Single tile covering the whole extent: both halos come from the
+        # neighbor slabs (sharded) or wrap around within ``hbm`` (unsharded).
+        # top and bot share sem_a — equal byte counts, so the two waits
+        # consume exactly the two signals regardless of completion order.
+        def single():
+            top_src = top_hbm if sharded else hbm.at[:, pl.ds(M - _H, _H), :]
+            bot_src = bot_hbm if sharded else hbm.at[:, pl.ds(0, _H), :]
+            return [
+                pltpu.make_async_copy(top_src, vmem.at[:, 0:_H, :], sem_a),
+                pltpu.make_async_copy(hbm, vmem.at[:, _H:_H + T, :], sem_b),
+                pltpu.make_async_copy(bot_src, vmem.at[:, T + _H:, :], sem_a),
+            ]
+
+        return [(None, single)]
+
     first, last = j == 0, j == n - 1
 
     def middle():
@@ -573,20 +472,20 @@ def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
             hbm.at[:, pl.ds(start, T + 2 * _H), :], vmem, sem_a)]
 
     def first_tile():
+        top_src = top_hbm if sharded else hbm.at[:, pl.ds(M - _H, _H), :]
         return [
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(M - _H, _H), :], vmem.at[:, 0:_H, :], sem_a),
+            pltpu.make_async_copy(top_src, vmem.at[:, 0:_H, :], sem_a),
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(0, T + _H), :], vmem.at[:, _H:, :], sem_b),
         ]
 
     def last_tile():
+        bot_src = bot_hbm if sharded else hbm.at[:, pl.ds(0, _H), :]
         return [
             pltpu.make_async_copy(
                 hbm.at[:, pl.ds(M - T - _H, T + _H), :],
                 vmem.at[:, 0:T + _H, :], sem_a),
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(0, _H), :], vmem.at[:, T + _H:, :], sem_b),
+            pltpu.make_async_copy(bot_src, vmem.at[:, T + _H:, :], sem_b),
         ]
 
     return [
@@ -596,26 +495,40 @@ def _make_halo_fetch_ops(T: int, M: int, n, j, hbm, vmem, sem_a, sem_b):
     ]
 
 
-def _streamed_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
-                     zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
-                     zeta_new_ref, tend_ref,
-                     zeta_buf, psi_buf, f1_buf, f2_buf, sems):
+def _streamed_kernel(cfg: ModelConfig, T: int, M: int, sharded: bool,
+                     step_ref, *args):
     """v4: v3's shared-rotation stencils + a double-buffered input pipeline.
 
     Two VMEM slots per input; at grid step i the fetch of tile i+1 (into slot
     (i+1) % 2) is started before waiting on tile i's fetch (started at step
     i-1), so HBM reads overlap the stencil compute of the previous tile.
     Requires grid >= 2 (the single-tile case uses the v3 kernel).
+
+    ``sharded=True`` is the shard_map-local form: M is this chip's row count,
+    four extra (L, H, P) operands carry the ppermute-exchanged neighbor row
+    slabs, and edge tiles read their halos from those instead of wrapping
+    (single-tile grids allowed — the halo is never local then).
     """
+    if sharded:
+        (zeta_hbm, psi_hbm, f1_hbm, f2_hbm, zt_hbm, zb_hbm, pt_hbm, pb_hbm,
+         zeta_new_ref, tend_ref,
+         zeta_buf, psi_buf, f1_buf, f2_buf, sems) = args
+    else:
+        (zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+         zeta_new_ref, tend_ref,
+         zeta_buf, psi_buf, f1_buf, f2_buf, sems) = args
+        zt_hbm = zb_hbm = pt_hbm = pb_hbm = None
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
 
     def halo_ops(j, slot, fld):
         hbm, buf = (zeta_hbm, zeta_buf) if fld == 0 else (psi_hbm, psi_buf)
+        top, bot = (zt_hbm, zb_hbm) if fld == 0 else (pt_hbm, pb_hbm)
         return _make_halo_fetch_ops(T, M, n, j, hbm, buf.at[slot],
                                     sems.at[slot, 2 * fld],
-                                    sems.at[slot, 2 * fld + 1])
+                                    sems.at[slot, 2 * fld + 1],
+                                    top_hbm=top, bot_hbm=bot)
 
     def center_ops(j, slot, fld):
         hbm, buf = (f1_hbm, f1_buf) if fld == 0 else (f2_hbm, f2_buf)
@@ -710,7 +623,7 @@ def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
         return fused_step_pre_fft(cfg, zeta, psi, f1, f2, step,
                                   interpret, tile)
 
-    kernel = functools.partial(_streamed_kernel, cfg, T, M)
+    kernel = functools.partial(_streamed_kernel, cfg, T, M, False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(M // T,),
@@ -739,6 +652,66 @@ def fused_step_streamed(cfg: ModelConfig, zeta: Array, psi: Array,
         interpret=interpret,
         compiler_params=_params(),
     )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2)
+    return zeta_new, tend
+
+
+def sharded_pallas_supported(L: int, m: int, P: int, itemsize: int) -> bool:
+    """Shape gate for the shard_map-local streamed kernel: 128-aligned lanes,
+    8-aligned local rows with at least one full tile, f32."""
+    return (P % 128 == 0 and m % 8 == 0 and itemsize == 4
+            and _pick_tile_v4(m, P, L, itemsize) >= 8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 10, 11))
+def fused_step_streamed_sharded(cfg: ModelConfig, zeta: Array, psi: Array,
+                                f1: Array, f2: Array, step: Array,
+                                zeta_top: Array, zeta_bot: Array,
+                                psi_top: Array, psi_bot: Array,
+                                interpret: bool = False, tile: int = 0):
+    """Shard_map-local form of the v4 streamed step kernel.
+
+    ``zeta``/``psi``/``f1``/``f2`` are one chip's (L, m, P) row blocks of the
+    row-sharded global grid; ``*_top``/``*_bot`` are the (L, H, P) neighbor
+    row slabs the caller exchanged via ppermute (top = the x-neighbor's LAST
+    H rows, bot = the next neighbor's FIRST H rows — the distributed
+    counterpart of the unsharded kernel's periodic wrap fetches). Outputs
+    (zeta_new, tend) for the local block, identical per point to the
+    unsharded kernel on the gathered grid. Single-tile local grids are
+    allowed (unlike the unsharded form, the halo is never local)."""
+    L, m, P = zeta.shape
+    dtype = zeta.dtype
+    T = tile or _pick_tile_v4(m, P, L, dtype.itemsize)
+
+    kernel = functools.partial(_streamed_kernel, cfg, T, m, True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 8,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    zeta_new, tend = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, m, P), dtype),
+            jax.ShapeDtypeStruct((L, m, P), dtype),
+        ),
+        interpret=interpret,
+        compiler_params=_params(),
+    )(jnp.asarray(step, jnp.int32).reshape(1), zeta, psi, f1, f2,
+      zeta_top, zeta_bot, psi_top, psi_bot)
     return zeta_new, tend
 
 

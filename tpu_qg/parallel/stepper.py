@@ -130,18 +130,99 @@ def _local_wind_forcing(cfg: ModelConfig, dtype, ay: str):
     return lax.dynamic_slice(full, (j * p_local,), (p_local,))[None, :]
 
 
+def fused_halo_supported(cfg: ModelConfig, mesh: Mesh) -> bool:
+    """Shape/config gate for the Pallas-fused sharded step: (nx, 1) mesh
+    (rows sharded, y local — the layout the fused kernels need), two-layer
+    zero-mean-gauge f32, the sharded streamed step kernel's tile gate, and
+    the distributed packed inverter's transpose divisibility."""
+    import jax.numpy as jnp
+
+    nx, ny = mesh.devices.shape
+    if ny != 1 or cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
+        return False
+    if jnp.dtype(cfg.dtype).itemsize != 4 or cfg.M % nx != 0:
+        return False
+    from ..ops.pallas_tendency import sharded_pallas_supported
+    from .packed import distributed_packed_supported
+    return (sharded_pallas_supported(cfg.n_layers, cfg.M // nx, cfg.P, 4)
+            and distributed_packed_supported(cfg.M, cfg.P, nx))
+
+
+def _resolve_fused(cfg: ModelConfig, mesh: Mesh, fused) -> bool:
+    if fused == "auto":
+        # Production default: the fused local step on real TPU whenever the
+        # shapes admit it (per-chip rate then matches the single-chip fused
+        # path — the kernels are identical); generic XLA stencils elsewhere.
+        return (cfg.use_pallas and jax.default_backend() == "tpu"
+                and fused_halo_supported(cfg, mesh))
+    if fused:
+        assert fused_halo_supported(cfg, mesh), (
+            "fused sharded step unsupported for this config/mesh "
+            f"(M={cfg.M}, P={cfg.P}, mesh={mesh.devices.shape})")
+    return bool(fused)
+
+
+def _make_fused_local_step(cfg: ModelConfig, ax: str, nx: int):
+    """Shard_map body of the Pallas-fused sharded step: ppermute the four
+    (L, H, P) halo slabs, run the sharded v4 streamed step kernel on the
+    local row block, invert via the distributed packed Pallas inverter.
+    Identical per-point arithmetic to the single-chip fused path."""
+    from ..models.core import _resolve_fft_mxu
+    from ..ops.pallas_tendency import _H, fused_step_streamed_sharded
+    from .packed import DistributedPackedInverter
+
+    interp = jax.default_backend() != "tpu"
+    inverter = DistributedPackedInverter(
+        cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), axis_x=ax, interpret=interp,
+        mxu=_resolve_fft_mxu(cfg))
+    fwd = [(i, (i + 1) % nx) for i in range(nx)]
+    bwd = [(i, (i - 1) % nx) for i in range(nx)]
+
+    def local_step(state: State) -> State:
+        def top(a):   # rows just above the block: x-neighbor's last H rows
+            return jax.lax.ppermute(a[:, -_H:, :], ax, fwd)
+
+        def bot(a):   # rows just below: next neighbor's first H rows
+            return jax.lax.ppermute(a[:, :_H, :], ax, bwd)
+
+        zeta_new, carry = fused_step_streamed_sharded(
+            cfg, state.zeta, state.psi, state.f1, state.f2, state.step,
+            top(state.zeta), bot(state.zeta), top(state.psi),
+            bot(state.psi), interp)
+        psi_new = inverter(zeta_new)
+        if cfg.time_scheme == "leapfrog_ra":
+            return State(zeta_new, psi_new, carry, state.f2, state.step + 1)
+        return State(zeta_new, psi_new, carry, state.f1, state.step + 1)
+
+    return local_step
+
+
 def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
-                      overlap: bool = True):
+                      overlap: bool = True, fused="auto"):
     """Jitted sharded step using explicit halo exchange + distributed FFTs.
 
     ``overlap=True`` (default) computes the tile interior concurrently with
     the ppermute halo exchanges; ``overlap=False`` keeps the blocking form
     (the equality oracle). Both produce identical results.
+
+    ``fused`` selects the Pallas-fused local step (sharded v4 streamed
+    tendency kernel + distributed packed Pallas-DFT inversion — see
+    tpu_qg.parallel.packed): "auto" uses it on TPU whenever
+    ``fused_halo_supported``; True forces it (interpret mode off-TPU, for
+    tests); False keeps the generic XLA stencil + jnp.fft path.
     """
     ax, ay = mesh.axis_names
     nx, ny = mesh.devices.shape
     m, p = cfg.M // nx, cfg.P // ny
     assert m * nx == cfg.M and p * ny == cfg.P, "grid must divide the mesh"
+    if _resolve_fused(cfg, mesh, fused):
+        specs = State(zeta=P(None, ax, ay), psi=P(None, ax, ay),
+                      f1=P(None, ax, ay), f2=P(None, ax, ay), step=P())
+        sharded = jax.shard_map(_make_fused_local_step(cfg, ax, nx),
+                                mesh=mesh, in_specs=(specs,),
+                                out_specs=specs, check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
     tendencies = (_local_tendencies_overlapped if overlap
                   else _local_tendencies)
 
@@ -198,13 +279,15 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh, overlap: bool = True):
+def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh, overlap: bool = True,
+                     fused="auto"):
     """Returns ``run(state, n) -> state``: n halo-path steps under one
     ``lax.scan`` (shard_map composes inside scan), compiled once per n."""
     import functools
 
     # make_halo_step_fn returns a jitted fn; jit-of-jit composes under scan.
-    step = make_halo_step_fn(cfg, mesh, donate=False, overlap=overlap)
+    step = make_halo_step_fn(cfg, mesh, donate=False, overlap=overlap,
+                             fused=fused)
 
     @functools.lru_cache(maxsize=None)
     def compiled(n: int):
