@@ -12,17 +12,34 @@
 #   PRESET      config preset name            (default: pod-8192)
 #   RUN_DIR     snapshot/checkpoint directory (default: runs/pod)
 #   STEPS       step-count override           (optional)
+#   COORDINATOR host:port — explicit jax.distributed coordinator (optional;
+#               default TPU auto-detect). With it set, NUM_PROCESSES and
+#               PROCESS_ID are required. scripts/multihost_smoke.py exercises
+#               this plumbing with 2 CPU processes (EXTRA_ARGS="--cpu ...").
+#   EXTRA_ARGS  extra tpu_qg.run arguments    (optional)
 set -eu
 
 PRESET="${PRESET:-pod-8192}"
 RUN_DIR="${RUN_DIR:-runs/pod}"
 STEPS="${STEPS:-}"
+COORDINATOR="${COORDINATOR:-}"
+# IMPORTANT: snapshot/checkpoint cadence drives COLLECTIVE gathers — every
+# host must run with identical values or the gather deadlocks.
+CHECKPOINT_EVERY="${CHECKPOINT_EVERY:-1000}"
 
 cd "$(dirname "$0")/.."
+
+DIST_ARGS=""
+if [ -n "$COORDINATOR" ]; then
+    DIST_ARGS="--coordinator $COORDINATOR \
+        --num-processes $NUM_PROCESSES --process-id $PROCESS_ID"
+fi
 
 exec python -m tpu_qg.run \
     --preset "$PRESET" \
     --run-dir "$RUN_DIR" \
     --distributed \
+    $DIST_ARGS \
     ${STEPS:+--steps "$STEPS"} \
-    --checkpoint-every 1000
+    ${EXTRA_ARGS:-} \
+    --checkpoint-every "$CHECKPOINT_EVERY"

@@ -67,6 +67,25 @@ def run_model(
     is consciously FIXED here: snapshots go every ``sample_interval`` seconds of
     model time, exactly as the metadata says.
     """
+    # Multi-host: every process runs this driver SPMD-style. Collectives
+    # (process_allgather for IO) must run on ALL processes; file writes and
+    # logging happen on process 0 only (the reference's SGE job was
+    # single-host and had no counterpart of this).
+    multihost = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    verbose = verbose and primary
+
+    def to_host(x) -> np.ndarray:
+        if multihost and getattr(x, "is_fully_addressable", True) is False:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    def host_state(s: State) -> State:
+        """Gathered full-grid copy for checkpointing (collective — call on
+        every process)."""
+        return State(*(to_host(leaf) for leaf in s))
+
     if verbose:
         log_model_params(cfg)
 
@@ -81,17 +100,17 @@ def run_model(
     total = cfg.total_steps if n_steps is None else n_steps
     sample_steps = max(int(sample_interval // cfg.dt), 1)
 
+    save = save_results
     writer = None
-    if save_results:
+    if save:
         if run_dir is None:
             raise ValueError("save_results=True requires run_dir")
         if resume:
             reader = RunReader(run_dir)
             state = reader.load_checkpoint()
-            writer = RunWriter(run_dir, cfg, sample_interval)
             if verbose:
                 print(f"Resumed from step {int(state.step)}")
-        else:
+        if primary:
             writer = RunWriter(run_dir, cfg, sample_interval)
 
     if state is None:
@@ -112,23 +131,28 @@ def run_model(
         chunk = min(sample_steps, total - done)
         state = run_fn(state, chunk) if mesh is not None else model.run(state, chunk)
         done += chunk
-        if writer is not None and done % sample_steps == 0:
-            writer.write_snapshot(done, np.asarray(state.zeta),
-                                  np.asarray(state.psi))
-        if writer is not None and checkpoint_every and done % checkpoint_every == 0:
-            writer.write_checkpoint(state)
+        if save and done % sample_steps == 0:
+            zh, ph = to_host(state.zeta), to_host(state.psi)
+            if writer is not None:
+                writer.write_snapshot(done, zh, ph)
+        if save and checkpoint_every and done % checkpoint_every == 0:
+            hs = host_state(state)
+            if writer is not None:
+                writer.write_checkpoint(hs)
         d = diagnostics(cfg, state)
         import math
         if not math.isfinite(d["max_abs_zeta"]):
             # Failure detection: NaN/Inf in the state. Save what we have for
             # post-mortem + restart (the reference would silently write garbage
             # and keep going — SURVEY.md section 5, no failure detection).
-            if writer is not None:
-                writer.write_checkpoint(state)
+            if save:
+                hs = host_state(state)
+                if writer is not None:
+                    writer.write_checkpoint(hs)
             raise FloatingPointError(
                 f"non-finite state at step {done} (max|zeta|="
                 f"{d['max_abs_zeta']}); diagnostics: {d}"
-                + (" — emergency checkpoint written" if writer else ""))
+                + (" — emergency checkpoint written" if save else ""))
         if verbose:
             rate = (done - start_step) * cfg.M * cfg.P / (time.perf_counter() - t0)
             print(f"step {done}/{total}  cfl={d['cfl']:.3f}  "
@@ -136,8 +160,10 @@ def run_model(
                   f"max|zeta|={d['max_abs_zeta']:.3e}  "
                   f"[{rate:.3e} gridpoint-steps/s]")
     jax.block_until_ready(state.zeta)
-    if writer is not None:
-        writer.write_checkpoint(state)
+    if save:
+        hs = host_state(state)
+        if writer is not None:
+            writer.write_checkpoint(hs)
 
     return state
 
@@ -172,6 +198,17 @@ def main(argv=None) -> None:
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "and shard over all devices")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="explicit jax.distributed coordinator address "
+                             "(default: auto-detect from the TPU metadata; "
+                             "required for CPU multi-process smokes)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="process count for --coordinator mode")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="this process's id for --coordinator mode")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the tunnel ignores "
+                             "JAX_PLATFORMS, so this must be a config flag)")
     parser.add_argument("--mesh", default=None, metavar="NX,NY",
                         help="device mesh shape (default: all devices, "
                              "most-square)")
@@ -185,9 +222,17 @@ def main(argv=None) -> None:
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
 
     mesh = None
     if args.distributed or args.mesh:
