@@ -66,7 +66,8 @@ VARIANTS = {
 DEFAULT_VARIANTS = ["plain", "xla", "matmul", "pallas"]
 
 
-def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
+def run_inner(variant: str, M: int, P: int, steps: int,
+              inversion_only: bool = False) -> dict:
     """One variant inline: compile + run `steps` steps, compare vs oracle."""
     import jax
 
@@ -85,6 +86,43 @@ def run_inner(variant: str, M: int, P: int, steps: int) -> dict:
                       dt=60.0, T=3600.0, dtype="float32", **overrides)
     rec = {"variant": variant, "M": M, "P": P, "steps": steps,
            **overrides, "platform": jax.devices()[0].platform}
+
+    if inversion_only:
+        # Transform-level accuracy: ONE zeta -> psi inversion vs the plain
+        # (jnp.fft packed) inverter on the same input. Separates the
+        # kernels' intrinsic error from chaotic trajectory amplification
+        # (the 5-step metric at 8192^2 conflates them — VERDICT round 2).
+        from tpu_qg.models.core import _build_solvers
+        rec["mode"] = "inversion"
+        t0 = time.perf_counter()
+        solvers = _build_solvers(cfg)
+        state = init_state(cfg, key=jax.random.PRNGKey(0))
+        inv = jax.jit(lambda z: solvers(z))
+        psi = np.asarray(inv(state.zeta))
+        rec["compile_and_run_s"] = round(time.perf_counter() - t0, 2)
+        rec["finite"] = bool(np.isfinite(psi).all())
+        oracle_path = ORACLE_NPY.format(rev=_git_rev(), M=M, P=P,
+                                        steps="inv")
+        if variant == "plain":
+            np.save(oracle_path, psi)
+            rec["max_rel_diff_vs_plain"] = 0.0
+        elif os.path.exists(oracle_path):
+            oracle = np.load(oracle_path)
+            scale = float(np.max(np.abs(oracle)))
+            rec["max_rel_diff_vs_plain"] = float(
+                np.max(np.abs(psi - oracle)) / scale)
+        else:
+            rec["max_rel_diff_vs_plain"] = None
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = inv(state.zeta)
+        float(jnp.sum(out))
+        rec["ms_per_inversion"] = round(
+            (time.perf_counter() - t0) / 10 * 1e3, 3)
+        rec["ok"] = bool(rec["finite"]
+                         and (rec["max_rel_diff_vs_plain"] is None
+                              or rec["max_rel_diff_vs_plain"] < 2e-5))
+        return rec
 
     t0 = time.perf_counter()
     model = QGModel(cfg)
@@ -134,16 +172,22 @@ def main():
     ap.add_argument("--P", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--timeout", type=float, default=1800.0)
+    ap.add_argument("--inversion-only", action="store_true",
+                    help="measure ONE zeta->psi inversion vs the plain "
+                         "inverter instead of a stepped trajectory")
     ap.add_argument("--inner", help="(internal) run one variant inline")
     args = ap.parse_args()
 
     if args.inner:
         print("SMOKE_JSON " + json.dumps(
-            run_inner(args.inner, args.M, args.P, args.steps)))
+            run_inner(args.inner, args.M, args.P, args.steps,
+                      inversion_only=args.inversion_only)))
         return
 
     rev = _git_rev()
     size = "" if (args.M, args.P) == (2048, 2048) else f"_{args.M}x{args.P}"
+    if args.inversion_only:
+        size += "_inv"
     out_path = os.path.join(REPO, "results", f"tpu_smoke_{rev}{size}.json")
     records = []
     # plain (the oracle) always runs first so comparisons are meaningful.
@@ -155,6 +199,8 @@ def main():
         cmd = [sys.executable, __file__, "--inner", variant,
                "--M", str(args.M), "--P", str(args.P),
                "--steps", str(args.steps)]
+        if args.inversion_only:
+            cmd.append("--inversion-only")
         print(f"[smoke] {variant} ...", flush=True)
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
