@@ -37,7 +37,12 @@ def main(argv=None):
                         help="global grid side for strong scaling")
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--reps", type=int, default=3)
-    parser.add_argument("--impl", default="halo", choices=["halo", "gspmd"])
+    parser.add_argument("--impl", default="halo",
+                        choices=["halo", "gspmd", "fused"],
+                        help="fused = the Pallas-kernel sharded step "
+                             "(tpu_qg.parallel.packed) on (n, 1) meshes; "
+                             "n=1 measures the sharded machinery against "
+                             "the single-chip fused default")
     parser.add_argument("--fake-devices", type=int, default=0,
                         help="run on a virtual CPU mesh of this size")
     parser.add_argument("--out", default=None)
@@ -64,10 +69,15 @@ def main(argv=None):
     def sync(s):
         return float(jnp.sum(s.zeta))
 
+    fused = args.impl == "fused"
     rows = []
     base_gps_per_chip = None
     for n in mesh_sizes:
-        mesh = make_mesh(devices=jax.devices()[:n])
+        if fused:
+            # The fused kernels need y local: 1-D row decomposition.
+            mesh = make_mesh((n, 1), devices=jax.devices()[:n])
+        else:
+            mesh = make_mesh(devices=jax.devices()[:n])
         mx, my = mesh.devices.shape
         if args.mode == "weak":
             M, P = args.tile * mx, args.tile * my
@@ -80,8 +90,17 @@ def main(argv=None):
 
         cfg = ModelConfig(M=M, P=P, Lx=4000.0 * KM, Ly=4000.0 * KM,
                           dt=60.0, T=3600.0, dtype="float32",
-                          use_pallas=False)
-        if n == 1:
+                          use_pallas=fused)
+        if fused:
+            from tpu_qg.parallel.stepper import fused_halo_supported
+            if not fused_halo_supported(cfg, mesh):
+                print(f"n={n}: fused path unsupported for {M}x{P}, skipped")
+                continue
+            # n=1 included: mesh (1,1) must match the unsharded fused rate.
+            run = make_halo_run_fn(cfg, mesh, fused=True)
+            state = shard_state(init_state(cfg, key=jax.random.PRNGKey(0)),
+                                mesh)
+        elif n == 1:
             model = QGModel(cfg)
             run = lambda s, k: model.run(s, k)  # noqa: E731
             state = init_state(cfg, key=jax.random.PRNGKey(0))
