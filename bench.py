@@ -45,6 +45,13 @@ _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 _MODES = {
     "pallas": dict(use_pallas=True, fft_impl="pallas"),
     "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "chain-pairx": dict(use_pallas=True, fft_impl="pallas",
+                        step_chain="on", fft_pairx="on"),
+    "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                               fft_mxu="bf16x3", step_chain="on",
+                               fft_pairx="on"),
+    "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+                  step_chain="off"),
     "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
                          fft_mxu="bf16x3", step_chain="on"),
     "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",

@@ -61,6 +61,13 @@ VARIANTS = {
     "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
     "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
                          fft_mxu="bf16x3", step_chain="on"),
+    # mirror-pair fused x-kernel (gate for models/core._PAIRX_IN_AUTO).
+    "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on"),
+    "chain-pairx": dict(use_pallas=True, fft_impl="pallas",
+                        step_chain="on", fft_pairx="on"),
+    "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                               fft_mxu="bf16x3", step_chain="on",
+                               fft_pairx="on"),
 }
 # Default run = bench.py's tier ladder; experimental variants are opt-in.
 DEFAULT_VARIANTS = ["plain", "xla", "matmul", "pallas"]

@@ -108,3 +108,40 @@ def test_chain_supported_predicate():
     assert not yfused_supported(
         ModelConfig(**_base(256, 256), n_layers=1), f32)
     assert not yfused_supported(ModelConfig(**_base(256, 192)), f32)
+
+
+def test_chain_pairx_matches_chain():
+    """The mirror-pair fused x-kernel path (2 kernel passes/step) is BITWISE
+    the 3-pass chain: identical per-strip arithmetic, only the spectrum W's
+    HBM round trip removed."""
+    kw = _base(256, 384)
+    state0 = core.init_state(ModelConfig(**kw), key=jax.random.PRNGKey(4))
+    n = 3
+    ref = _run_chain(kw, state0, n)
+    got = _run_chain(dict(kw, fft_pairx="on"), state0, n)
+    for name in ("zeta", "psi", "f1"):
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(g, r, rtol=0, atol=1e-6 * np.abs(r).max(),
+                                   err_msg=name)
+
+
+def test_pairx_inverter_matches_fused():
+    """PackedModalInverterPallasFFT(pair_x=True) equals the 4-pass fused
+    inverter, including odd strip counts (P=384 -> n2y=3) and M != P."""
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    for M, P in [(256, 256), (256, 384), (128, 512)]:
+        cfg = ModelConfig(**_base(M, P))
+        args = (M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                cfg.back_projection_matrix())
+        base = PackedModalInverterPallasFFT(*args, interpret=True)
+        pair = PackedModalInverterPallasFFT(*args, interpret=True,
+                                            pair_x=True)
+        assert base._fuse and pair._pair
+        rng = np.random.default_rng(0)
+        z = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+        r, g = np.asarray(base(z)), np.asarray(pair(z))
+        np.testing.assert_allclose(g, r, rtol=0,
+                                   atol=1e-6 * np.abs(r).max(),
+                                   err_msg=f"{(M, P)}")

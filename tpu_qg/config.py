@@ -94,6 +94,13 @@ class ModelConfig:
     # exactly three kernel HBM passes. "auto" = on once hardware-gated
     # (models/core._YFUSED_IN_AUTO) and supported; "on"/"off" force it.
     step_chain: str = "auto"
+    # The mirror-pair fused x-kernel (pallas_fft._build_pair_x_kernel):
+    # forward-x, symbol stage, and inverse-x in ONE HBM pass per strip pair,
+    # so the spectrum W never round-trips HBM (packed inversion = 3 kernel
+    # passes; with the chain, one step = 2). "auto" = on once hardware-gated
+    # (models/core._PAIRX_IN_AUTO) and the VMEM bound admits the shape;
+    # "on"/"off" force it. Only consulted on the fused Pallas path.
+    fft_pairx: str = "auto"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -112,6 +119,8 @@ class ModelConfig:
             raise ValueError(f"unsupported fft_mxu {self.fft_mxu!r}")
         if self.step_chain not in ("auto", "on", "off"):
             raise ValueError(f"unsupported step_chain {self.step_chain!r}")
+        if self.fft_pairx not in ("auto", "on", "off"):
+            raise ValueError(f"unsupported fft_pairx {self.fft_pairx!r}")
 
     # --- derived geometry ---
     @property

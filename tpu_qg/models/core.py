@@ -165,6 +165,22 @@ def _resolve_fft_mxu(cfg: ModelConfig) -> str:
     return "bf16x3" if _BF16X3_IN_AUTO else "highest"
 
 
+# Hardware gate for the mirror-pair fused x-kernel (fft_pairx="auto"): may
+# only be True in a commit whose scripts/tpu_smoke.py JSON shows the pairx
+# variant compiling AND matching the no-Pallas oracle on the real chip at
+# 2048^2. fft_pairx="on" stays an explicit opt-in either way.
+_PAIRX_IN_AUTO = False
+
+
+def _resolve_pairx(cfg: ModelConfig) -> bool:
+    """Resolve fft_pairx="auto" (see config.ModelConfig.fft_pairx and
+    _PAIRX_IN_AUTO); the VMEM shape bound is applied downstream
+    (pallas_fft.pair_x_fits)."""
+    if cfg.fft_pairx != "auto":
+        return cfg.fft_pairx == "on"
+    return _PAIRX_IN_AUTO
+
+
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
     """Resolve fft_impl="auto": on TPU float32, the Pallas fused factored DFT
     when hardware-gated in (see _PALLAS_FFT_IN_AUTO), the kernel's honest
@@ -207,7 +223,8 @@ def _build_packed_inverter(cfg: ModelConfig):
     if impl == "pallas":
         return PackedModalInverterPallasFFT(
             cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
-            cfg.back_projection_matrix(), mxu=_resolve_fft_mxu(cfg))
+            cfg.back_projection_matrix(), mxu=_resolve_fft_mxu(cfg),
+            pair_x=_resolve_pairx(cfg))
     cls = PackedModalInverterMXU if impl == "matmul" else PackedModalInverter
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())
@@ -283,7 +300,8 @@ def make_chain_fns(cfg: ModelConfig, interpret: bool = False):
         from ..ops.spectral import PackedModalInverterPallasFFT
         inverter = PackedModalInverterPallasFFT(
             cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
-            cfg.back_projection_matrix(), interpret=True, mxu=mxu)
+            cfg.back_projection_matrix(), interpret=True, mxu=mxu,
+            pair_x=_resolve_pairx(cfg))
     else:
         if not _use_pallas(cfg) or _resolve_fft_impl(cfg) != "pallas":
             return None
@@ -292,6 +310,7 @@ def make_chain_fns(cfg: ModelConfig, interpret: bool = False):
         return None
     pfft = inverter._pfft
     consts = inverter._sym_consts
+    pair = getattr(inverter, "_pair", False)
 
     def to_internal(state: State) -> State:
         return state._replace(psi=pfft._call_y(state.psi, False))
@@ -303,8 +322,13 @@ def make_chain_fns(cfg: ModelConfig, interpret: bool = False):
         zeta_new, carry, zeta_ys = fused_step_streamed_yspec(
             cfg, state.zeta, state.psi, state.f1, state.f2, state.step, mxu,
             interpret)
-        W = pfft._call_x(zeta_ys, False)
-        psi_ys = pfft._call_x_symbols(W, consts)
+        if pair:
+            # Two kernel HBM passes per step: the v5 step kernel + the
+            # mirror-pair fused forward-x/symbols/inverse-x kernel.
+            psi_ys = pfft.pair_x_symbols(zeta_ys, consts)
+        else:
+            W = pfft._call_x(zeta_ys, False)
+            psi_ys = pfft._call_x_symbols(W, consts)
         return _chain_next_state(cfg, state, zeta_new, psi_ys, carry)
 
     return to_internal, step, to_external

@@ -539,6 +539,113 @@ def _build_symbol_inv_x_kernel_offset(M: int, P: int, consts,
     return kernel
 
 
+def pair_x_fits(M: int, P: int) -> bool:
+    """Scoped-VMEM bound for the mirror-pair fused x-kernel: 2 input strips
+    (pipeline-double-buffered), 2 output stages, ~8 strip-equivalents of live
+    forward/mirror/inverse values, plus BOTH direction's G constant stacks."""
+    strip = 2 * M * _N1 * 4
+    g_plane = (M // _N1) * _N1 * _N1 * 4
+    return (_x_blockspec_fits(M, P)
+            and 14 * strip + 8 * g_plane <= _VMEM_TARGET)
+
+
+def _build_pair_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
+    """Forward-x + packed-inversion symbols + inverse-x for a MIRROR PAIR of
+    128-lane strips in ONE kernel pass.
+
+    The fused symbol stage needs strip j and its y-mirror (n2y - j) % n2y of
+    the spectrum W; since the mirror relation is an involution, processing
+    the PAIR jointly means each invocation can forward-transform both strips
+    of the y-spectrum, use each as the other's mirror, and inverse-transform
+    both — the spectrum W never touches HBM. Replaces the separate forward-x
+    (_build_kernel) + symbol+inverse-x (_build_symbol_inv_x_kernel) passes:
+    the chain step becomes TWO kernel HBM passes, the packed inversion three.
+
+    Grid: i in [0, n2y//2] with a = i, b = (n2y - i) % n2y. Invocations 0
+    (and n2y/2 for even n2y) are self-mirrors: the b-half compute is
+    redundant there (~2/(n2y+2) of this kernel's work) and its store is
+    suppressed with pl.when.
+
+    Operands: gfr/gfi (forward G), gir/gii (inverse G), xa/xb (BlockSpec
+    strips a and b of the y-spectral field, natural x order); output is an
+    HBM-space (2, M, P) buffer written via staged DMA (two pallas outputs
+    cannot alias one array's disjoint columns through BlockSpecs).
+    """
+    N2, _, _, _ = _plan(M, "x", False)
+    n2y = P // _N1
+
+    def kernel(gfr, gfi, gir, gii, xa_ref, xb_ref, o_hbm,
+               stage_a, stage_b, sems):
+        i = pl.program_id(0)
+        a = i
+        b = jax.lax.rem(jnp.asarray(n2y, i.dtype) - i,
+                        jnp.asarray(n2y, i.dtype))
+        jflip, jroll = _perm_matrices()
+
+        def blk(arr, c):
+            return arr[c * _N1:(c + 1) * _N1, :]
+
+        def fwd(x_ref):
+            xr, xi = x_ref[0], x_ref[1]
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            return [
+                _cdot(sr, si, gfr[c], gfi[c], left=True, mxu=mxu)
+                for c, (sr, si) in enumerate(smalls)
+            ]
+
+        Wa = fwd(xa_ref)
+        Wb = fwd(xb_ref)
+
+        def invert(W, Wm, jstrip, stage):
+            """V = A W + B conj(W(-k)) -> inverse-x, into ``stage``. Wm is
+            the mirror strip's spectrum blocks; lane negation (y within the
+            128-block) + per-block sublane negation (x) as in
+            _build_symbol_inv_x_kernel."""
+            jlane = jnp.where(jstrip == 0, jroll, jflip)
+            WmL = [(_pdot(wr, jlane), _pdot(wi, jlane)) for wr, wi in Wm]
+            pairs = []
+            for c in range(N2):
+                r = (-c) % N2
+                jrow = jroll if c == 0 else jflip
+                wnr = _pdot(WmL[r][0], jrow, left=True)
+                wni = _pdot(WmL[r][1], jrow, left=True)
+                ar, ai, br, bi = _symbols_for_block(M, P, c, jstrip, consts)
+                wr_, wi_ = W[c]
+                vr = ar * wr_ - ai * wi_ + br * wnr + bi * wni
+                vi = ai * wr_ + ar * wi_ + bi * wnr - br * wni
+                pairs.append(_cdot(vr, vi, gir[c], gii[c], left=True,
+                                   mxu=mxu))
+            outs = _chunk_dft(pairs, +1, 1.0 / N2)
+            for c in range(N2):
+                sr, si = outs[c]
+                stage[0, c * _N1:(c + 1) * _N1, :] = sr
+                stage[1, c * _N1:(c + 1) * _N1, :] = si
+
+        invert(Wa, Wb, a, stage_a)
+        invert(Wb, Wa, b, stage_b)
+
+        cp_a = pltpu.make_async_copy(
+            stage_a, o_hbm.at[:, :, pl.ds(a * _N1, _N1)], sems.at[0])
+        cp_a.start()
+
+        @pl.when(b != a)
+        def _():
+            pltpu.make_async_copy(
+                stage_b, o_hbm.at[:, :, pl.ds(b * _N1, _N1)],
+                sems.at[1]).start()
+
+        cp_a.wait()
+
+        @pl.when(b != a)
+        def _():
+            pltpu.make_async_copy(
+                stage_b, o_hbm.at[:, :, pl.ds(b * _N1, _N1)],
+                sems.at[1]).wait()
+
+    return kernel
+
+
 def _build_streaming_x(M: int, P: int, *, inverse: bool, consts=None,
                        mxu: str = "highest"):
     """Streaming x-transform kernel: grid over 128-column strips with manual
@@ -853,6 +960,40 @@ class PlanarFFT2:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(jnp.asarray(strip_offset, jnp.int32).reshape(1), gr, gi, Z, Zm)
+
+    def pair_x_symbols(self, Zy: Array, consts) -> Array:
+        """y-spectral field -> ifft_x(A W + B conj(W(-k))) with W = fft_x(Zy)
+        computed IN-KERNEL per mirror strip pair: forward-x, symbol stage,
+        and inverse-x in one HBM pass (see _build_pair_x_kernel). Composes
+        with _call_y on both sides for the 3-pass packed inversion / 2-pass
+        chain step."""
+        M, P = self.M, self.P
+        gfr, gfi = self._G[("x", False)]
+        gir, gii = self._G[("x", True)]
+        key = ("pair", consts)
+        if key not in self._sym_kern_cache:
+            self._sym_kern_cache[key] = _build_pair_x_kernel(
+                M, P, consts, mxu=self._mxu)
+        n2x = gfr.shape[0]
+        n2y = P // _N1
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda i: (0, 0, 0))
+        aspec = pl.BlockSpec((2, M, _N1), lambda i: (0, 0, i))
+        bspec = pl.BlockSpec((2, M, _N1), lambda i: (0, 0, (n2y - i) % n2y))
+        return pl.pallas_call(
+            self._sym_kern_cache[key],
+            grid=(n2y // 2 + 1,),
+            in_specs=[gspec, gspec, gspec, gspec, aspec, bspec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), Zy.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, M, _N1), Zy.dtype),
+                pltpu.VMEM((2, M, _N1), Zy.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(gfr, gfi, gir, gii, Zy, Zy)
 
     def forward(self, z: Array) -> Array:
         """Planar (2, M, P) natural order -> planar permuted spectrum."""
