@@ -53,16 +53,19 @@ def plot_heatmap(run_dir: str, step: Optional[int] = None,
     return out_file
 
 
-def create_animation(run_dir: str, out_file: Optional[str] = None,
-                     fps: int = 30, max_frames: Optional[int] = None) -> str:
-    """2x2 animation (rows: zeta/psi, cols: layer 1/2) over all snapshots
-    (reference: src/plotting/animation.jl:19-89)."""
-    from matplotlib import animation
-
+def _animation_frames(run_dir: str, max_frames: Optional[int]):
     reader = RunReader(run_dir)
     steps = reader.snapshot_steps()
     if max_frames and len(steps) > max_frames:
         steps = steps[:: len(steps) // max_frames + 1]
+    return reader, steps
+
+
+def _build_animation(reader: RunReader, steps, fps: int):
+    """Shared 2x2 figure + FuncAnimation (rows: zeta/psi, cols: layers),
+    used by both the file writer and the interactive window."""
+    from matplotlib import animation
+
     dt = reader.metadata["dt"]
 
     z0, p0 = reader.load_snapshot(steps[0])
@@ -90,7 +93,18 @@ def create_animation(run_dir: str, out_file: Optional[str] = None,
         suptitle.set_text(f"day {steps[frame_idx] * dt / DAY:.1f}")
         return images
 
-    anim = animation.FuncAnimation(fig, update, frames=len(steps))
+    anim = animation.FuncAnimation(fig, update, frames=len(steps),
+                                   interval=1000.0 / fps)
+    return fig, anim
+
+
+def create_animation(run_dir: str, out_file: Optional[str] = None,
+                     fps: int = 30, max_frames: Optional[int] = None) -> str:
+    """2x2 animation (rows: zeta/psi, cols: layer 1/2) over all snapshots,
+    written to mp4/gif (reference: src/plotting/animation.jl:19-89
+    ``create_mp4``)."""
+    reader, steps = _animation_frames(run_dir, max_frames)
+    fig, anim = _build_animation(reader, steps, fps)
     if out_file is None:
         out_file = str(pathlib.Path(run_dir) / "animation.mp4")
     try:
@@ -101,6 +115,35 @@ def create_animation(run_dir: str, out_file: Optional[str] = None,
         anim.save(out_file, fps=fps, writer="pillow")
     plt.close(fig)
     return out_file
+
+
+def show_animation(run_dir: str, fps: int = 30,
+                   max_frames: Optional[int] = None) -> None:
+    """Live on-screen animation window (reference: ``show_animation``,
+    src/plotting/animation.jl:91-173 — an interactive GLMakie window). The
+    module default backend is Agg for headless use; this switches to an
+    interactive backend when a display exists and raises a clear error
+    otherwise (this build environment has no display — the file-writing
+    ``create_animation`` is the headless counterpart)."""
+    import os
+
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        raise RuntimeError(
+            "show_animation needs a display (DISPLAY/WAYLAND_DISPLAY unset); "
+            "use `python -m tpu_qg.plotting animate <run_dir>` to write an "
+            "mp4/gif instead")
+    for backend in ("QtAgg", "TkAgg", "GTK4Agg"):
+        try:
+            plt.switch_backend(backend)
+            break
+        except Exception:
+            continue
+    else:
+        raise RuntimeError("no interactive matplotlib backend available")
+    reader, steps = _animation_frames(run_dir, max_frames)
+    fig, anim = _build_animation(reader, steps, fps)
+    plt.show()
+    plt.close(fig)
 
 
 def plot_spectrum(run_dir: str, step: Optional[int] = None,
@@ -144,6 +187,9 @@ def main(argv=None):
     a.add_argument("--fps", type=int, default=30)
     a.add_argument("--out", default=None)
     a.add_argument("--max-frames", type=int, default=None)
+    a.add_argument("--show", action="store_true",
+                   help="open an interactive window (needs a display) "
+                        "instead of writing a file")
     s = sub.add_parser("spectrum")
     s.add_argument("run_dir")
     s.add_argument("--step", type=int, default=None)
@@ -155,6 +201,10 @@ def main(argv=None):
                            field=args.field, layer=args.layer)
     elif args.cmd == "spectrum":
         out = plot_spectrum(args.run_dir, step=args.step, out_file=args.out)
+    elif args.show:
+        show_animation(args.run_dir, fps=args.fps,
+                       max_frames=args.max_frames)
+        return
     else:
         out = create_animation(args.run_dir, out_file=args.out, fps=args.fps,
                                max_frames=args.max_frames)
