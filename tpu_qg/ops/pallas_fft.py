@@ -485,60 +485,6 @@ def _build_symbol_inv_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
     return kernel
 
 
-def _build_symbol_inv_x_kernel_offset(M: int, P: int, consts,
-                                      mxu: str = "highest"):
-    """Sharded-form fused symbol+inverse-x kernel (see
-    _build_symbol_inv_x_kernel for the single-chip form and the math).
-
-    Differences for use inside an x-sharded shard_map (the distributed packed
-    inverter, tpu_qg.parallel.packed):
-
-      * the local block holds only ``w`` of the global n2y = P/128 strips, so
-        the GLOBAL strip index is ``off_ref[0] + program_id`` (a scalar-
-        prefetch operand carrying this chip's strip offset);
-      * the mirror strip ``wm`` comes from a SEPARATE pre-mirrored operand
-        with an identity index map — the caller arranges (locally, before the
-        all_to_all transpose, where y is still complete) that strip j of that
-        operand is global strip (n2y - j_global) % n2y. The in-strip lane
-        negation and the x-direction (sublane) negation still happen here,
-        exactly as in the single-chip kernel.
-    """
-    N2, _, _, _ = _plan(M, "x", True)
-
-    def kernel(off_ref, gr_ref, gi_ref, wj_ref, wm_ref, o_ref):
-        j = off_ref[0] + pl.program_id(0)      # global strip index
-        jflip, jroll = _perm_matrices()
-        jlane = jnp.where(j == 0, jroll, jflip)
-        wmr = _pdot(wm_ref[0], jlane)
-        wmi = _pdot(wm_ref[1], jlane)
-
-        wjr, wji = wj_ref[0], wj_ref[1]
-
-        def blk(a, c):
-            return a[c * _N1:(c + 1) * _N1, :]
-
-        pairs = []
-        for c in range(N2):
-            r = (-c) % N2
-            jrow = jroll if c == 0 else jflip
-            wnr = _pdot(blk(wmr, r), jrow, left=True)
-            wni = _pdot(blk(wmi, r), jrow, left=True)
-            arb, aib, brb, bib = _symbols_for_block(M, P, c, j, consts)
-            wr_, wi_ = blk(wjr, c), blk(wji, c)
-            vr = arb * wr_ - aib * wi_ + brb * wnr + bib * wni
-            vi = aib * wr_ + arb * wi_ + bib * wnr - brb * wni
-            pairs.append(_cdot(vr, vi, gr_ref[c], gi_ref[c], left=True,
-                               mxu=mxu))
-
-        outs = _chunk_dft(pairs, +1, 1.0 / N2)
-        for b in range(N2):
-            sr, si = outs[b]
-            o_ref[0, b * _N1:(b + 1) * _N1, :] = sr
-            o_ref[1, b * _N1:(b + 1) * _N1, :] = si
-
-    return kernel
-
-
 def pair_x_fits(M: int, P: int) -> bool:
     """Scoped-VMEM bound for the mirror-pair fused x-kernel: 2 input strips
     (pipeline-double-buffered), 2 output stages, ~8 strip-equivalents of live
@@ -642,6 +588,63 @@ def _build_pair_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
             pltpu.make_async_copy(
                 stage_b, o_hbm.at[:, :, pl.ds(b * _N1, _N1)],
                 sems.at[1]).wait()
+
+    return kernel
+
+
+def _build_fwd_symbol_inv_x_kernel_offset(M: int, P: int, consts,
+                                          mxu: str = "highest"):
+    """Sharded single-pass x-stage: forward-x of the local y-spectrum strip
+    AND its pre-mirrored companion, symbol stage, inverse-x — one kernel.
+
+    The distributed packed inverter (tpu_qg.parallel.packed) already carries
+    a pre-mirrored companion block through the transpose (strip j = y-mirror
+    strip of the y-spectrum); forwarding both here and using fwd(companion)
+    as the mirror spectrum collapses its three x-stage kernel passes
+    (fwd-x(Z), fwd-x(Zm), offset symbol+inverse-x) into one, so neither W
+    nor Wm ever touches HBM. Global strip index = off_ref[0] + program_id
+    (scalar prefetch), as in _build_symbol_inv_x_kernel_offset.
+    """
+    N2, _, _, _ = _plan(M, "x", False)
+
+    def kernel(off_ref, gfr, gfi, gir, gii, za_ref, zm_ref, o_ref):
+        j = off_ref[0] + pl.program_id(0)      # global strip index
+        jflip, jroll = _perm_matrices()
+
+        def blk(arr, c):
+            return arr[c * _N1:(c + 1) * _N1, :]
+
+        def fwd(x_ref):
+            xr, xi = x_ref[0], x_ref[1]
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            return [
+                _cdot(sr, si, gfr[c], gfi[c], left=True, mxu=mxu)
+                for c, (sr, si) in enumerate(smalls)
+            ]
+
+        W = fwd(za_ref)
+        Wm = fwd(zm_ref)
+
+        jlane = jnp.where(j == 0, jroll, jflip)
+        WmL = [(_pdot(wr, jlane), _pdot(wi, jlane)) for wr, wi in Wm]
+        pairs = []
+        for c in range(N2):
+            r = (-c) % N2
+            jrow = jroll if c == 0 else jflip
+            wnr = _pdot(WmL[r][0], jrow, left=True)
+            wni = _pdot(WmL[r][1], jrow, left=True)
+            ar, ai, br, bi = _symbols_for_block(M, P, c, j, consts)
+            wr_, wi_ = W[c]
+            vr = ar * wr_ - ai * wi_ + br * wnr + bi * wni
+            vi = ai * wr_ + ar * wi_ + bi * wnr - br * wni
+            pairs.append(_cdot(vr, vi, gir[c], gii[c], left=True, mxu=mxu))
+
+        outs = _chunk_dft(pairs, +1, 1.0 / N2)
+        for c in range(N2):
+            sr, si = outs[c]
+            o_ref[0, c * _N1:(c + 1) * _N1, :] = sr
+            o_ref[1, c * _N1:(c + 1) * _N1, :] = si
 
     return kernel
 
@@ -928,38 +931,37 @@ class PlanarFFT2:
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gr, gi, Z, Z)
 
-    def _call_x_symbols_offset(self, Z: Array, Zm: Array, consts,
-                               strip_offset: Array) -> Array:
-        """Sharded fused symbol multiply + inverse-x over a local column block
-        (2, M, w*128) whose first strip has GLOBAL index ``strip_offset`` (a
-        traced int32 scalar — per-chip inside shard_map). ``Zm`` is the
-        pre-mirrored companion block (strip j holds global strip
-        (n2y - (strip_offset + j)) % n2y); see
-        _build_symbol_inv_x_kernel_offset."""
+    def _call_x_fwd_symbols_offset(self, Zy: Array, Zm: Array, consts,
+                                   strip_offset: Array) -> Array:
+        """Sharded single-pass x-stage over local column blocks of the
+        y-spectrum and its pre-mirrored companion (see
+        _build_fwd_symbol_inv_x_kernel_offset)."""
         M = self.M
-        cols = Z.shape[2]
-        gr, gi = self._G[("x", True)]
-        key = ("offset", consts)
+        cols = Zy.shape[2]
+        gfr, gfi = self._G[("x", False)]
+        gir, gii = self._G[("x", True)]
+        key = ("fwd-offset", consts)
         if key not in self._sym_kern_cache:
-            self._sym_kern_cache[key] = _build_symbol_inv_x_kernel_offset(
+            self._sym_kern_cache[key] = _build_fwd_symbol_inv_x_kernel_offset(
                 M, self.P, consts, mxu=self._mxu)
-        n2x = gr.shape[0]
-        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda j, s: (0, 0, 0))
-        wspec = pl.BlockSpec((2, M, _N1), lambda j, s: (0, 0, j))
+        n2x = gfr.shape[0]
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda i, s: (0, 0, 0))
+        wspec = pl.BlockSpec((2, M, _N1), lambda i, s: (0, 0, i))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cols // _N1,),
-            in_specs=[gspec, gspec, wspec, wspec],
-            out_specs=pl.BlockSpec((2, M, _N1), lambda j, s: (0, 0, j)),
+            in_specs=[gspec, gspec, gspec, gspec, wspec, wspec],
+            out_specs=pl.BlockSpec((2, M, _N1), lambda i, s: (0, 0, i)),
         )
         return pl.pallas_call(
             self._sym_kern_cache[key],
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(Z.shape, Z.dtype),
+            out_shape=jax.ShapeDtypeStruct(Zy.shape, Zy.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
-        )(jnp.asarray(strip_offset, jnp.int32).reshape(1), gr, gi, Z, Zm)
+        )(jnp.asarray(strip_offset, jnp.int32).reshape(1),
+          gfr, gfi, gir, gii, Zy, Zm)
 
     def pair_x_symbols(self, Zy: Array, consts) -> Array:
         """y-spectral field -> ifft_x(A W + B conj(W(-k))) with W = fft_x(Zy)

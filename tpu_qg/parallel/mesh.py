@@ -23,14 +23,18 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
               devices=None) -> Mesh:
     """Build a 2-D ('x', 'y') device mesh over the available devices.
 
-    ``shape=None`` uses all devices in the most-square arrangement. Axis 'x'
-    shards the M (first spatial) dimension, 'y' the P dimension.
+    ``shape=None`` uses all devices in the most-square arrangement; an
+    explicit shape smaller than the device count takes the FIRST nx*ny
+    devices (e.g. ``--mesh 4,1`` on an 8-device host). Axis 'x' shards the
+    M (first spatial) dimension, 'y' the P dimension.
     """
     devices = jax.devices() if devices is None else devices
     n = len(devices)
     if shape is None:
         shape = _factor2(n)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != device count {n}")
+    if shape[0] * shape[1] > n:
+        raise ValueError(f"mesh shape {shape} needs more than the {n} "
+                         "available devices")
+    devices = devices[:shape[0] * shape[1]]
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))

@@ -20,19 +20,18 @@ Pipeline for a local (2, m, P) row block (m = M/nx, y complete):
      single-chip form);
   3. one ``all_to_all`` each over the x-ring: (2, m, P) -> (2, M, P/nx)
      column blocks (full x extent, contiguous global strips);
-  4. forward-x kernel on both blocks. The x-transform is column-independent,
-     so the companion's transformed strips are BITWISE the mirror strips of
-     the spectrum W — the extra forward-x pass is what buys locality of the
-     mirror;
-  5. the offset-parameterized fused symbol+inverse-x kernel
-     (pallas_fft._build_symbol_inv_x_kernel_offset): V = A W + B conj(W(-k))
-     with in-kernel iota-built symbols at GLOBAL strip index
-     (axis_index * strips_per_chip + program_id), straight into the
-     inverse-x MXU stage;
-  6. ``all_to_all`` back to row blocks, inverse-y kernel locally.
+  4. ONE single-pass x-stage kernel
+     (pallas_fft._build_fwd_symbol_inv_x_kernel_offset): forward-x of BOTH
+     blocks (column-independent, so fwd(companion) is BITWISE the mirror
+     strips of the spectrum W), V = A W + B conj(W(-k)) with in-kernel
+     iota-built symbols at GLOBAL strip index (axis_index * strips_per_chip
+     + program_id), straight into the inverse-x MXU stage — W/Wm never
+     touch HBM;
+  5. ``all_to_all`` back to row blocks, inverse-y kernel locally.
 
-Per inversion: 7 local kernel HBM passes + 3 all_to_alls (vs 4 passes on one
-chip — the mirror companion costs one forward-x and one extra transpose).
+Per inversion: 5 local kernel HBM passes + 3 all_to_alls (vs 3 passes on one
+chip with the pair-x kernel — the mirror companion costs one extra
+transpose and a redundant in-kernel forward of the mirror strips).
 
 Must be called inside shard_map over a mesh whose x axis has size nx.
 """
@@ -106,11 +105,12 @@ class DistributedPackedInverter(PackedModalInverter):
                                 tiled=True)                     # (2, M, P/nx)
             Zm = lax.all_to_all(Zm, ax, split_axis=2, concat_axis=1,
                                 tiled=True)
-        W = self._pfft._call_x(Zy, False)
-        Wm = self._pfft._call_x(Zm, False)
-        strips = W.shape[2] // _N1
+        strips = Zy.shape[2] // _N1
         off = lax.axis_index(ax) * strips if nx > 1 else 0
-        V = self._pfft._call_x_symbols_offset(W, Wm, self._sym_consts, off)
+        # Single-pass x-stage: forward-x of BOTH blocks, symbols, inverse-x
+        # in one kernel — W/Wm never touch HBM (5 local passes total).
+        V = self._pfft._call_x_fwd_symbols_offset(Zy, Zm, self._sym_consts,
+                                                  off)
         if nx > 1:
             V = lax.all_to_all(V, ax, split_axis=1, concat_axis=2,
                                tiled=True)                      # (2, m, P)
