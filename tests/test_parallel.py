@@ -385,3 +385,92 @@ def test_fused_halo_gate():
     # f64 never routes to the fused kernels.
     assert not fused_halo_supported(fused_cfg(P=512, dtype="float64"),
                                     make_mesh((4, 1), devices=dev4))
+
+
+def _run_chain_single(cfg, psi0, n):
+    """Single-chip chain oracle, scanned exactly like the sharded run (the
+    per-step functions are BITWISE identical between the sharded and
+    single-chip chains — asserted separately below — but interpret-mode
+    kernels are visible to XLA, so scan-context compilation perturbs CPU dot
+    accumulation at the 1e-7 level; comparing scan-to-scan keeps that out of
+    the tolerance, which mainly absorbs the inversion's small-k
+    amplification of f32 noise into psi)."""
+    from tpu_qg.models import core
+
+    ti, st, te = core.make_chain_fns(cfg, interpret=True)
+    return core._run_chain(ti, st, te, init_state(cfg, psi_init=psi0), n)
+
+
+@pytest.mark.parametrize("nx", [2, 4])
+def test_sharded_chain_matches_single_chip_chain(nx):
+    """The sharded 2-kernel chain (v5 sharded kernel + distributed x-stage)
+    reproduces the single-chip chain trajectory, external form compared."""
+    from tpu_qg.parallel.stepper import make_halo_run_fn
+
+    cfg = fused_cfg(M=256, P=128 * max(2, nx), wind_tau0=0.05,
+                    step_chain="on", fft_pairx="on")
+    psi0 = _psi_init(cfg).astype(np.float32)
+    n = 3
+    ref = _run_chain_single(cfg, psi0, n)
+
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+    run = make_halo_run_fn(cfg, mesh, fused=True, chain=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    s = run(s, n)
+    assert int(s.step) == n
+    for name, tol in (("zeta", 1e-5), ("psi", 5e-5), ("f1", 1e-5)):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
+                                   err_msg=name)
+
+
+def test_sharded_chain_step_bitwise():
+    """Outside scan, the sharded chain STEP is bitwise the single-chip chain
+    step (identical kernels on identical data — the real equality statement;
+    see _run_chain_single for why the scanned composition is only close)."""
+    from jax.sharding import PartitionSpec as Pspec
+    from tpu_qg.models import core
+    from tpu_qg.parallel.stepper import make_halo_chain_fns
+
+    cfg = fused_cfg(M=256, P=512, time_scheme="leapfrog_ra", step_chain="on")
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ti, st, te = core.make_chain_fns(cfg, interpret=True)
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    lti, lst, lte = make_halo_chain_fns(cfg, mesh)
+    specs = core.State(
+        zeta=Pspec(None, "x", None), psi=Pspec(None, "x", None),
+        f1=Pspec(None, "x", None), f2=Pspec(None, "x", None), step=Pspec())
+
+    def sm(f):
+        return jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(specs,),
+                                     out_specs=specs, check_vma=False))
+
+    s_ref = ti(init_state(cfg, psi_init=psi0))
+    s_sh = sm(lti)(shard_state(init_state(cfg, psi_init=psi0), mesh))
+    sst = sm(lst)
+    for _ in range(3):
+        s_ref, s_sh = st(s_ref), sst(s_sh)
+        for name in ("zeta", "psi", "f1"):
+            np.testing.assert_array_equal(np.asarray(getattr(s_sh, name)),
+                                          np.asarray(getattr(s_ref, name)),
+                                          err_msg=name)
+
+
+def test_sharded_chain_leapfrog():
+    from tpu_qg.parallel.stepper import make_halo_run_fn
+
+    cfg = fused_cfg(M=256, P=512, time_scheme="leapfrog_ra", step_chain="on")
+    psi0 = _psi_init(cfg).astype(np.float32)
+    n = 3
+    ref = _run_chain_single(cfg, psi0, n)
+
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    run = make_halo_run_fn(cfg, mesh, fused=True, chain=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    s = run(s, n)
+    for name, tol in (("zeta", 1e-5), ("psi", 5e-5), ("f1", 1e-5)):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
+                                   err_msg=name)

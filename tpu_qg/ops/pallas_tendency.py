@@ -740,13 +740,27 @@ def _params_yf():
     return _PARAMS_YF
 
 
-def _yfused_kernel(cfg: ModelConfig, T: int, M: int, ytrans_inv, ytrans_fwd,
-                   step_ref,
+def _yfused_kernel(cfg: ModelConfig, T: int, M: int, sharded: bool,
+                   ytrans_inv, ytrans_fwd, step_ref,
                    gyi_r_hbm, gyi_i_hbm, gyf_r_hbm, gyf_i_hbm,
-                   zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
-                   zeta_new_ref, tend_ref, zys_ref,
-                   zeta_buf, psi_buf, f1_buf, f2_buf,
-                   gyi_r_s, gyi_i_s, gyf_r_s, gyf_i_s, sems, gsems):
+                   *args):
+    """``sharded=True`` is the shard_map-local form (see _streamed_kernel):
+    M is this chip's row count and four extra (L/2, H, P) operands carry the
+    ppermute-exchanged neighbor row slabs — zeta slabs in natural space, psi
+    slabs in the SAME y-spectral form as the psi operand (the y-transform is
+    row-local, so spectral halo rows inverse-transform exactly like body
+    rows)."""
+    if sharded:
+        (zeta_hbm, psi_hbm, f1_hbm, f2_hbm, zt_hbm, zb_hbm, pt_hbm, pb_hbm,
+         zeta_new_ref, tend_ref, zys_ref,
+         zeta_buf, psi_buf, f1_buf, f2_buf,
+         gyi_r_s, gyi_i_s, gyf_r_s, gyf_i_s, sems, gsems) = args
+    else:
+        (zeta_hbm, psi_hbm, f1_hbm, f2_hbm,
+         zeta_new_ref, tend_ref, zys_ref,
+         zeta_buf, psi_buf, f1_buf, f2_buf,
+         gyi_r_s, gyi_i_s, gyf_r_s, gyf_i_s, sems, gsems) = args
+        zt_hbm = zb_hbm = pt_hbm = pb_hbm = None
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
@@ -768,9 +782,11 @@ def _yfused_kernel(cfg: ModelConfig, T: int, M: int, ytrans_inv, ytrans_fwd,
 
     def halo_ops(j, slot, fld):
         hbm, buf = (zeta_hbm, zeta_buf) if fld == 0 else (psi_hbm, psi_buf)
+        top, bot = (zt_hbm, zb_hbm) if fld == 0 else (pt_hbm, pb_hbm)
         return _make_halo_fetch_ops(T, M, n, j, hbm, buf.at[slot],
                                     sems.at[slot, 2 * fld],
-                                    sems.at[slot, 2 * fld + 1])
+                                    sems.at[slot, 2 * fld + 1],
+                                    top_hbm=top, bot_hbm=bot)
 
     def center_ops(j, slot, fld):
         hbm, buf = (f1_hbm, f1_buf) if fld == 0 else (f2_hbm, f2_buf)
@@ -899,7 +915,7 @@ def fused_step_streamed_yspec(cfg: ModelConfig, zeta: Array, psi_ys: Array,
     gyi_r, gyi_i = y_plan_arrays(P, True)
     gyf_r, gyf_i = y_plan_arrays(P, False)
 
-    kernel = functools.partial(_yfused_kernel, cfg, T, M,
+    kernel = functools.partial(_yfused_kernel, cfg, T, M, False,
                                ytrans_inv, ytrans_fwd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -938,6 +954,86 @@ def fused_step_streamed_yspec(cfg: ModelConfig, zeta: Array, psi_ys: Array,
         compiler_params=_params_yf(),
     )(jnp.asarray(step, jnp.int32).reshape(1),
       gyi_r, gyi_i, gyf_r, gyf_i, zeta, psi_ys, f1, f2)
+    return zeta_new, tend, zeta_ys
+
+
+def sharded_yfused_supported(L: int, m: int, P: int, itemsize: int) -> bool:
+    """Shape gate for the shard_map-local v5 kernel: two-layer f32,
+    Pallas-FFT-supported y extent, 8-aligned local rows with at least one
+    full tile (single-tile local grids allowed — the halo comes from slabs)."""
+    from .pallas_fft import pallas_fft_supported
+    return (L == 2 and itemsize == 4 and P % 128 == 0 and m % 8 == 0
+            and pallas_fft_supported(P)
+            and _pick_tile_yfused(m, P, L, itemsize) >= 8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 10, 11, 12))
+def fused_step_streamed_yspec_sharded(cfg: ModelConfig, zeta: Array,
+                                      psi_ys: Array, f1: Array, f2: Array,
+                                      step: Array,
+                                      zeta_top: Array, zeta_bot: Array,
+                                      psi_top: Array, psi_bot: Array,
+                                      mxu: str = "highest",
+                                      interpret: bool = False,
+                                      tile: int = 0):
+    """Shard_map-local v5 dispatch: the chain's step kernel on one chip's
+    (L, m, P) row block. zeta/f1/f2 slabs are natural-space rows; psi slabs
+    are rows of the y-SPECTRAL psi operand (ppermute the internal-form psi —
+    the y-transform is row-local). Returns (zeta_new, carry, zeta_ys) for
+    the local block, identical per point to the unsharded v5 kernel."""
+    from .pallas_fft import make_y_tile_transform, y_plan_arrays
+
+    L, m, P = zeta.shape
+    dtype = zeta.dtype
+    assert L == 2
+    T = tile or _pick_tile_yfused(m, P, L, dtype.itemsize)
+    n2y = P // 128
+
+    ytrans_inv = make_y_tile_transform(P, inverse=True, mxu=mxu)
+    ytrans_fwd = make_y_tile_transform(P, inverse=False, mxu=mxu)
+    gyi_r, gyi_i = y_plan_arrays(P, True)
+    gyf_r, gyf_i = y_plan_arrays(P, False)
+
+    kernel = functools.partial(_yfused_kernel, cfg, T, m, True,
+                               ytrans_inv, ytrans_fwd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 12,
+        out_specs=[
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, T, P), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((2, L, T, P), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.VMEM((n2y, 128, 128), dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    zeta_new, tend, zeta_ys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, m, P), dtype),
+            jax.ShapeDtypeStruct((L, m, P), dtype),
+            jax.ShapeDtypeStruct((L, m, P), dtype),
+        ),
+        interpret=interpret,
+        compiler_params=_params_yf(),
+    )(jnp.asarray(step, jnp.int32).reshape(1),
+      gyi_r, gyi_i, gyf_r, gyf_i, zeta, psi_ys, f1, f2,
+      zeta_top, zeta_bot, psi_top, psi_bot)
     return zeta_new, tend, zeta_ys
 
 

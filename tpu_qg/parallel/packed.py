@@ -92,11 +92,15 @@ class DistributedPackedInverter(PackedModalInverter):
         n2y = P // _N1
         self._mirror_perm = np.asarray((-np.arange(n2y)) % n2y)
 
-    def __call__(self, zeta: Array) -> Array:
+    def x_stage(self, Zy: Array) -> Array:
+        """y-spectral local row block (2, m, P) -> the inversion's x-stage:
+        mirror companion, transposes over the x-ring, single-pass
+        forward-x/symbols/inverse-x kernel, transpose back. Returns the
+        y-spectral psi row block — the sharded chain consumes this directly
+        (its step kernel does both y-transforms in-VMEM)."""
         ax = self.ax
         nx = lax.axis_size(ax)
-        rows = zeta.shape[1]
-        Zy = self._pfft._call_y(zeta, False)                    # (2, m, P)
+        rows = Zy.shape[1]
         # Mirror companion at strip granularity (y complete locally).
         v = Zy.reshape(2, rows, len(self._mirror_perm), _N1)
         Zm = v[:, :, self._mirror_perm, :].reshape(Zy.shape)
@@ -108,10 +112,15 @@ class DistributedPackedInverter(PackedModalInverter):
         strips = Zy.shape[2] // _N1
         off = lax.axis_index(ax) * strips if nx > 1 else 0
         # Single-pass x-stage: forward-x of BOTH blocks, symbols, inverse-x
-        # in one kernel — W/Wm never touch HBM (5 local passes total).
+        # in one kernel — W/Wm never touch HBM.
         V = self._pfft._call_x_fwd_symbols_offset(Zy, Zm, self._sym_consts,
                                                   off)
         if nx > 1:
             V = lax.all_to_all(V, ax, split_axis=1, concat_axis=2,
                                tiled=True)                      # (2, m, P)
+        return V
+
+    def __call__(self, zeta: Array) -> Array:
+        Zy = self._pfft._call_y(zeta, False)                    # (2, m, P)
+        V = self.x_stage(Zy)
         return self._pfft._call_y(V, True).astype(zeta.dtype)

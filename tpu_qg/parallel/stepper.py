@@ -279,11 +279,107 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+def make_halo_chain_fns(cfg: ModelConfig, mesh: Mesh):
+    """Shard_map-local bodies (to_internal, step, to_external) of the SHARDED
+    step chain, or None when unsupported.
+
+    The distributed form of models.core.make_chain_fns: psi rides between
+    steps in permuted y-spectral LOCAL row blocks (the y-transform is
+    row-local, so the representation shards trivially over rows); one step is
+    the sharded v5 kernel (halo slabs ppermuted — psi slabs in spectral form)
+    plus the distributed single-pass x-stage (mirror companion, all_to_all
+    transposes, forward-x/symbols/inverse-x kernel).
+    """
+    nx, ny = mesh.devices.shape
+    ax = mesh.axis_names[0]
+    if ny != 1 or cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
+        return None
+    import jax.numpy as jnp
+
+    from ..models.core import _chain_next_state, _resolve_fft_mxu
+    from ..ops.pallas_tendency import (_H, fused_step_streamed_yspec_sharded,
+                                       sharded_yfused_supported)
+    from .packed import DistributedPackedInverter, distributed_packed_supported
+
+    m = cfg.M // nx
+    if cfg.M % nx or not (
+            sharded_yfused_supported(2, m, cfg.P,
+                                     jnp.dtype(cfg.dtype).itemsize)
+            and distributed_packed_supported(cfg.M, cfg.P, nx)):
+        return None
+    interp = jax.default_backend() != "tpu"
+    mxu = _resolve_fft_mxu(cfg)
+    inverter = DistributedPackedInverter(
+        cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), axis_x=ax, interpret=interp, mxu=mxu)
+    pfft = inverter._pfft
+    fwd = [(i, (i + 1) % nx) for i in range(nx)]
+    bwd = [(i, (i - 1) % nx) for i in range(nx)]
+
+    def to_internal(state: State) -> State:
+        return state._replace(psi=pfft._call_y(state.psi, False))
+
+    def to_external(state: State) -> State:
+        return state._replace(psi=pfft._call_y(state.psi, True))
+
+    def step(state: State) -> State:
+        def top(a):
+            return jax.lax.ppermute(a[:, -_H:, :], ax, fwd)
+
+        def bot(a):
+            return jax.lax.ppermute(a[:, :_H, :], ax, bwd)
+
+        zeta_new, carry, zeta_ys = fused_step_streamed_yspec_sharded(
+            cfg, state.zeta, state.psi, state.f1, state.f2, state.step,
+            top(state.zeta), bot(state.zeta), top(state.psi),
+            bot(state.psi), mxu, interp)
+        psi_ys = inverter.x_stage(zeta_ys)
+        return _chain_next_state(cfg, state, zeta_new, psi_ys, carry)
+
+    return to_internal, step, to_external
+
+
 def make_halo_run_fn(cfg: ModelConfig, mesh: Mesh, overlap: bool = True,
-                     fused="auto"):
+                     fused="auto", chain=None):
     """Returns ``run(state, n) -> state``: n halo-path steps under one
-    ``lax.scan`` (shard_map composes inside scan), compiled once per n."""
+    ``lax.scan`` (shard_map composes inside scan), compiled once per n.
+
+    ``chain=None`` follows the single-chip chain resolution
+    (models.core._resolve_step_chain); True/False force. When the fused path
+    and the chain are both on and supported, the run converts psi to its
+    y-spectral internal form once, scans the 2-kernel sharded chain step,
+    and converts back — external semantics (checkpoints, diagnostics) always
+    see natural psi, as on one chip.
+    """
     import functools
+
+    from ..models.core import _resolve_step_chain
+
+    want_chain = _resolve_step_chain(cfg) if chain is None else bool(chain)
+    if want_chain and _resolve_fused(cfg, mesh, fused):
+        fns = make_halo_chain_fns(cfg, mesh)
+        if fns is not None:
+            ti, st, te = fns
+            ax, ay = mesh.axis_names
+            specs = State(zeta=P(None, ax, ay), psi=P(None, ax, ay),
+                          f1=P(None, ax, ay), f2=P(None, ax, ay), step=P())
+
+            def sm(f):
+                return jax.shard_map(f, mesh=mesh, in_specs=(specs,),
+                                     out_specs=specs, check_vma=False)
+
+            ti_s, st_s, te_s = sm(ti), sm(st), sm(te)
+
+            @functools.lru_cache(maxsize=None)
+            def compiled(n: int):
+                def run(state: State) -> State:
+                    def body(s, _):
+                        return st_s(s), None
+                    out, _ = jax.lax.scan(body, ti_s(state), None, length=n)
+                    return te_s(out)
+                return jax.jit(run, donate_argnums=(0,))
+
+            return lambda state, n: compiled(n)(state)
 
     # make_halo_step_fn returns a jitted fn; jit-of-jit composes under scan.
     step = make_halo_step_fn(cfg, mesh, donate=False, overlap=overlap,
