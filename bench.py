@@ -52,6 +52,8 @@ _MODES = {
                                fft_pairx="on"),
     "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
                   step_chain="off"),
+    "pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+                         fft_mxu="bf16x3", step_chain="off"),
     "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
                          fft_mxu="bf16x3", step_chain="on"),
     "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",

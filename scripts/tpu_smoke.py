@@ -63,6 +63,8 @@ VARIANTS = {
                          fft_mxu="bf16x3", step_chain="on"),
     # mirror-pair fused x-kernel (gate for models/core._PAIRX_IN_AUTO).
     "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on"),
+    "pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+                         fft_mxu="bf16x3"),
     "chain-pairx": dict(use_pallas=True, fft_impl="pallas",
                         step_chain="on", fft_pairx="on"),
     "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
