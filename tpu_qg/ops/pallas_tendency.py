@@ -30,7 +30,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .stencils import arakawa_J_generic, centered_diff_x_generic
 
 
 def _col_shift(u: Array, dj: int) -> Array:
@@ -38,23 +37,6 @@ def _col_shift(u: Array, dj: int) -> Array:
     if dj == 0:
         return u
     return pltpu.roll(u, -dj % u.shape[-1], axis=u.ndim - 1)
-
-
-def _make_tile_shift(halo: int, rows: int):
-    """Shift primitive over a row-halo-padded VMEM tile: row offsets are static
-    slices, column offsets are lane rotations."""
-    def shift(u: Array, di: int, dj: int) -> Array:
-        return _col_shift(u[halo + di:halo + di + rows, :], dj)
-    return shift
-
-
-def _lap_rows(u: Array, r0: int, rows: int, inv_dx2: float) -> Array:
-    """5-point Laplacian of rows [r0, r0+rows) of a tile with >=1 halo row on
-    each side; columns periodic via lane rotation."""
-    c = u[r0:r0 + rows, :]
-    up = u[r0 + 1:r0 + 1 + rows, :]
-    dn = u[r0 - 1:r0 - 1 + rows, :]
-    return (up + dn - 4.0 * c + _col_shift(c, 1) + _col_shift(c, -1)) * inv_dx2
 
 
 # Halo rows carried on each side of a tile. Only 2 are needed numerically
@@ -156,8 +138,6 @@ def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = out_ref.shape[0]
-    dx = cfg.dx
-    inv_dx2 = 1.0 / (dx * dx)
 
     # DMA this tile plus halo rows for all layers at once, handling the
     # periodic row wrap in the copies themselves (no pre-padded HBM copy of
@@ -169,36 +149,9 @@ def _tendency_kernel(cfg: ModelConfig, T: int, M: int, zeta_hbm, psi_hbm,
     _fetch_halo_blocking(T, M, n, i, psi_hbm, psi_vmem,
                          sems.at[2], sems.at[3])
 
-    shift1 = _make_tile_shift(1, T)
-    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
-
     for layer in range(L):
-        psi_t = psi_vmem[layer][:]       # (T+2H, P) value
-        zeta_t1 = zeta_vmem[layer][:][_H - 1:_H - 1 + T + 2, :]  # halo-1 view
-        psi_1h = psi_t[_H - 1:_H - 1 + T + 2, :]                 # halo-1 view
-
-        # del^4 psi: Laplacian at halo-1 rows, then Laplacian of that.
-        lap_psi_1h = _lap_rows(psi_t, _H - 1, T + 2, inv_dx2)    # (T+2, P)
-        visc_term = cfg.visc * _lap_rows(lap_psi_1h, 1, T, inv_dx2)
-        lap_psi = lap_psi_1h[1:T + 1, :]                         # (T, P)
-
-        jac = arakawa_J_generic(shift1, zeta_t1, psi_1h, dx)
-        dpsi_dx = centered_diff_x_generic(shift1, psi_1h, dx)
-        tend = visc_term - jac - betas[layer] * dpsi_dx
-
-        if cfg.n_layers == 1:
-            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
-            tend = tend - cfg.r * lap_psi
-        elif layer == 0:
-            # Layer 1: mean-flow advection (reference: src/model.jl:143).
-            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
-        else:
-            # Layer 2: bottom drag (reference: src/model.jl:151).
-            tend = tend - cfg.r * lap_psi
-
-        if _wind_layer(cfg, layer):
-            tend = tend + _wind_rows(cfg, T, out_ref.shape[-1])
-        out_ref[layer] = tend
+        out_ref[layer] = _layer_tendency_shared(
+            cfg, T, layer, zeta_vmem[layer][:], psi_vmem[layer][:])
 
 
 def _pick_tile(M: int, P: int, L: int, itemsize: int) -> int:
@@ -269,8 +222,6 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     L = tend_ref.shape[0]
-    dx = cfg.dx
-    inv_dx2 = 1.0 / (dx * dx)
 
     # Start the halo-free history fetches, then the halo fetches (which wait).
     has_f2 = cfg.time_scheme == "euler_ab3"   # leapfrog_ra never reads f2
@@ -282,32 +233,11 @@ def _pre_inversion_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
     _fetch_halo_blocking(T, M, n, i, psi_hbm, psi_vmem,
                          sems.at[2], sems.at[3])
 
-    shift1 = _make_tile_shift(1, T)
-    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
-
-    tends = []
-    for layer in range(L):
-        psi_t = psi_vmem[layer][:]
-        zeta_t1 = zeta_vmem[layer][:][_H - 1:_H - 1 + T + 2, :]
-        psi_1h = psi_t[_H - 1:_H - 1 + T + 2, :]
-
-        lap_psi_1h = _lap_rows(psi_t, _H - 1, T + 2, inv_dx2)
-        visc_term = cfg.visc * _lap_rows(lap_psi_1h, 1, T, inv_dx2)
-        lap_psi = lap_psi_1h[1:T + 1, :]
-
-        jac = arakawa_J_generic(shift1, zeta_t1, psi_1h, dx)
-        dpsi_dx = centered_diff_x_generic(shift1, psi_1h, dx)
-        tend = visc_term - jac - betas[layer] * dpsi_dx
-        if cfg.n_layers == 1:
-            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
-            tend = tend - cfg.r * lap_psi
-        elif layer == 0:
-            tend = tend - cfg.U * centered_diff_x_generic(shift1, zeta_t1, dx)
-        else:
-            tend = tend - cfg.r * lap_psi
-        if _wind_layer(cfg, layer):
-            tend = tend + _wind_rows(cfg, T, tend.shape[-1])
-        tends.append(tend)
+    tends = [
+        _layer_tendency_shared(cfg, T, layer, zeta_vmem[layer][:],
+                               psi_vmem[layer][:])
+        for layer in range(L)
+    ]
 
     cp_f1.wait()
     if has_f2:
@@ -335,7 +265,7 @@ def _layer_tendency_shared(cfg: ModelConfig, T: int, layer: int,
                            z_w: Array, psi_w: Array) -> Array:
     """One layer's RHS over the body rows of (T+2H, P) VMEM tile values.
 
-    Same arithmetic as arakawa_J_generic / laplace chains, but every stencil
+    Same arithmetic as stencils.arakawa_J / laplace chains, but every stencil
     neighbour is a row slice of one of six column-rotated slabs (zeta +-1,
     psi +-1, lap(psi) +-1) instead of a per-term rotation: 6 lane relayouts
     per layer instead of ~16. Mosaic lane rotations are the dominant cost of
