@@ -41,9 +41,14 @@ from tpu_qg.utils.diagnostics import (energy, energy_spectrum,  # noqa: E402
 
 
 def run_one(fft_impl: str, M: int, steps: int, chunk: int):
+    # Plain fft_impl names, or any scripts/tpu_smoke.py variant name
+    # (e.g. "pairx-bf16x3", "chain-pairx-bf16x3") for gate-flip evidence.
+    from tpu_smoke import VARIANTS
+    overrides = VARIANTS.get(fft_impl, dict(use_pallas=True,
+                                            fft_impl=fft_impl))
     cfg = ModelConfig(M=M, P=M, Lx=4000.0 * KM, Ly=4000.0 * KM,
                       dt=60.0, T=float(steps * 60.0), dtype="float32",
-                      use_pallas=True, fft_impl=fft_impl)
+                      **overrides)
     model = QGModel(cfg)
     state = init_state(cfg, key=jax.random.PRNGKey(0))
 

@@ -154,7 +154,14 @@ _PALLAS_FFT_IN_AUTO = True
 # JSON shows the bf16x3 variant compiling AND matching the no-Pallas oracle
 # on the real chip at 2048^2. fft_mxu="bf16x3" stays an explicit opt-in
 # either way.
-_BF16X3_IN_AUTO = False
+# Gate evidence: results/tpu_smoke_6e70b50.json — pairx-bf16x3 matches the
+# no-Pallas oracle to 1.8e-6 after 10 steps at 2048^2 (vs 3.1e-7 for the
+# highest-precision pairx run: the bf16x3 stage costs ~1.5e-6 relative);
+# results/accuracy_2048_10000_pairx.json shows energy/enstrophy drift within
+# the xla-backend f32 noise band over 10k steps; bench.py 50-step protocol
+# measured 2.57-2.67e9 gridpoint-steps/s vs 2.24e9 for the highest-precision
+# unfused default (results/bench_headline_r3.json).
+_BF16X3_IN_AUTO = True
 
 
 def _resolve_fft_mxu(cfg: ModelConfig) -> str:
@@ -169,7 +176,16 @@ def _resolve_fft_mxu(cfg: ModelConfig) -> str:
 # only be True in a commit whose scripts/tpu_smoke.py JSON shows the pairx
 # variant compiling AND matching the no-Pallas oracle on the real chip at
 # 2048^2. fft_pairx="on" stays an explicit opt-in either way.
-_PAIRX_IN_AUTO = False
+# Gate evidence: results/tpu_smoke_6e70b50.json — pairx compiles at 2048^2
+# and matches the no-Pallas oracle to 3.1e-7 after 10 steps (BETTER than the
+# unfused 4-pass inversion's 3.2e-5: the spectrum W never round-trips HBM);
+# bench.py 50-step protocol: pairx-bf16x3 2.57-2.67e9 gridpoint-steps/s over
+# three runs vs 2.24e9 for the unfused default and 2.43-2.50e9 for the
+# chain-pairx-bf16x3 variant (results/bench_headline_r3.json — the y-fused
+# chain stays opt-in: it loses ~6% at the 50-step protocol despite one fewer
+# HBM pass; its step kernel's in-VMEM y-DFTs cost more than the separate
+# pipelined y-kernel passes they replace).
+_PAIRX_IN_AUTO = True
 
 
 def _resolve_pairx(cfg: ModelConfig) -> bool:
@@ -268,6 +284,16 @@ def _use_pallas(cfg: ModelConfig) -> bool:
 # whose scripts/tpu_smoke.py JSON shows the chain compiling AND matching the
 # no-Pallas oracle on the real chip at 2048^2. cfg.step_chain="on" stays an
 # explicit opt-in either way.
+# Round-3 decision: stays False ON EVIDENCE, not for lack of it.
+# results/tpu_smoke_6e70b50.json shows chain-pairx-bf16x3 compiling and
+# matching the oracle (1.6e-6 after 10 steps), but the 50-step bench
+# protocol measured it at 2.43-2.50e9 gridpoint-steps/s vs 2.57-2.67e9 for
+# pairx-bf16x3 WITHOUT the chain (results/bench_headline_r3.json): folding
+# the y-transforms into the step kernel saves one HBM pass but its
+# serialized in-VMEM y-DFT matmuls cost more than the separate, pipelined
+# y-kernel passes they replace. The chain remains the right form for the
+# SHARDED step (parallel/stepper.py), where it minimizes per-chip passes
+# between halo exchanges.
 _YFUSED_IN_AUTO = False
 
 
