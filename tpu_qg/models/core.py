@@ -215,13 +215,16 @@ def _resolve_fft_impl(cfg: ModelConfig) -> str:
     from ..ops.matmul_fft import split_factor
     if cfg.use_pallas and _PALLAS_FFT_IN_AUTO:
         from ..ops.pallas_fft import planar_fft2_fits
-        # Hardware-validated regime: the smoke evidence covers the BlockSpec
-        # x-kernel with N2 <= 16 per extent (2048^2-class shapes). Larger N2
-        # (recursive small stage at 4096) and the streaming x-kernel (8192)
-        # stay explicit opt-ins (fft_impl="pallas") until a smoke JSON at
-        # those sizes lands.
+        # Hardware-validated regime: BlockSpec x-kernels with N2 <= 32 per
+        # extent. 2048^2-class evidence: tpu_smoke_6e70b50.json +
+        # bench_headline_r3.json. 4096^2 (N2 = 32, recursive small stage):
+        # tpu_smoke_4ec881e_4096x4096.json (10-step vs oracle 6.1e-6) and
+        # bench 2.96e9 gridpoint-steps/s vs 0.96e9 for the matmul tier —
+        # the round-2 auto route silently 3x-underperformed here (VERDICT
+        # round-2 item 6). The streaming x-kernel (8192, N2 = 64) stays an
+        # explicit opt-in (fft_impl="pallas").
         if (planar_fft2_fits(cfg.M, cfg.P)
-                and cfg.M <= 16 * 128 and cfg.P <= 16 * 128):
+                and cfg.M <= 32 * 128 and cfg.P <= 32 * 128):
             return "pallas"
     if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
         return "matmul"
