@@ -60,6 +60,10 @@ _MODES = {
                           fft_mxu="bf16x3", step_chain="off"),
     "pallas-hi": dict(use_pallas=True, fft_impl="pallas",
                       fft_mxu="highest", step_chain="off"),
+    "mono-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+                        fft_mxu="bf16x3", step_chain="off"),
+    "mono": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+                 fft_mxu="highest", step_chain="off"),
     "matmul": dict(use_pallas=True, fft_impl="matmul"),
     "xla": dict(use_pallas=True, fft_impl="xla"),
     "plain": dict(use_pallas=False, fft_impl="xla"),

@@ -70,6 +70,12 @@ VARIANTS = {
     "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
                                fft_mxu="bf16x3", step_chain="on",
                                fft_pairx="on"),
+    # monolithic single-pass inversion kernel (gate for
+    # models/core._MONO_IN_AUTO).
+    "mono": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+                 fft_mxu="highest"),
+    "mono-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+                        fft_mxu="bf16x3"),
 }
 # Default run = bench.py's tier ladder; experimental variants are opt-in.
 DEFAULT_VARIANTS = ["plain", "xla", "matmul", "pallas"]

@@ -145,3 +145,48 @@ def test_pairx_inverter_matches_fused():
         np.testing.assert_allclose(g, r, rtol=0,
                                    atol=1e-6 * np.abs(r).max(),
                                    err_msg=f"{(M, P)}")
+
+
+def test_mono_inverter_matches_fused():
+    """PackedModalInverterPallasFFT(mono=True) — the whole inversion in ONE
+    kernel HBM pass, field VMEM-resident — equals the 4-pass fused inverter,
+    including odd strip counts (P=384 -> n2y=3, self-mirror edge cases) and
+    M != P."""
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    for M, P in [(256, 256), (256, 384), (128, 512)]:
+        cfg = ModelConfig(**_base(M, P))
+        args = (M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                cfg.back_projection_matrix())
+        base = PackedModalInverterPallasFFT(*args, interpret=True)
+        mono = PackedModalInverterPallasFFT(*args, interpret=True,
+                                            mono=True)
+        assert base._fuse and mono._mono
+        rng = np.random.default_rng(0)
+        z = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+        r, g = np.asarray(base(z)), np.asarray(mono(z))
+        np.testing.assert_allclose(g, r, rtol=0,
+                                   atol=1e-6 * np.abs(r).max(),
+                                   err_msg=f"{(M, P)}")
+
+
+def test_mono_config_plumbing():
+    """fft_mono="on" routes _build_packed_inverter to the mono kernel (and
+    the solver output matches the jnp.fft packed inverter); "off"/default
+    auto (gate False) leave it inactive."""
+    from tpu_qg.ops.spectral import PackedModalInverter
+
+    kw = _base(256, 384, fft_impl="pallas")
+    cfg_on = ModelConfig(**kw, fft_mono="on")
+    inv = core._build_packed_inverter(cfg_on)
+    assert inv._mono
+    cfg_auto = ModelConfig(**kw)
+    assert core._build_packed_inverter(cfg_auto)._mono == core._MONO_IN_AUTO
+
+    ref = PackedModalInverter(cfg_on.M, cfg_on.P, cfg_on.dx, cfg_on.S_eig,
+                              cfg_on.P_inv_matrix(),
+                              cfg_on.back_projection_matrix())
+    rng = np.random.default_rng(1)
+    z = np.asarray(rng.standard_normal((2, cfg_on.M, cfg_on.P)), np.float32)
+    r, g = np.asarray(ref(z)), np.asarray(inv(z))
+    np.testing.assert_allclose(g, r, rtol=0, atol=1e-5 * np.abs(r).max())

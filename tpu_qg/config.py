@@ -101,6 +101,15 @@ class ModelConfig:
     # (models/core._PAIRX_IN_AUTO) and the VMEM bound admits the shape;
     # "on"/"off" force it. Only consulted on the fused Pallas path.
     fft_pairx: str = "auto"
+    # The monolithic single-pass inversion kernel
+    # (pallas_fft._build_mono_kernel): the whole packed field stays
+    # VMEM-resident through forward-y, the mirror-pair x-stage, and
+    # inverse-y — the entire zeta->psi inversion is ONE kernel HBM pass
+    # (4 planes of traffic instead of 12). Needs 2*M*P*4 bytes of VMEM
+    # (fits up to 2048^2-class shapes). "auto" = on once hardware-gated
+    # (models/core._MONO_IN_AUTO) and the VMEM bound admits the shape;
+    # "on"/"off" force it. Takes precedence over fft_pairx when active.
+    fft_mono: str = "auto"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -121,6 +130,8 @@ class ModelConfig:
             raise ValueError(f"unsupported step_chain {self.step_chain!r}")
         if self.fft_pairx not in ("auto", "on", "off"):
             raise ValueError(f"unsupported fft_pairx {self.fft_pairx!r}")
+        if self.fft_mono not in ("auto", "on", "off"):
+            raise ValueError(f"unsupported fft_mono {self.fft_mono!r}")
 
     # --- derived geometry ---
     @property

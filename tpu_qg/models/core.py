@@ -166,9 +166,14 @@ _BF16X3_IN_AUTO = True
 
 def _resolve_fft_mxu(cfg: ModelConfig) -> str:
     """Resolve fft_mxu="auto" for the Pallas DFT kernels (see
-    config.ModelConfig.fft_mxu and _BF16X3_IN_AUTO)."""
+    config.ModelConfig.fft_mxu and _BF16X3_IN_AUTO). The bf16x3 default
+    applies only on the TPU backend it was hardware-gated on; CPU interpret
+    runs (tests, oracles) stay at full f32 emulation so they remain
+    high-precision references."""
     if cfg.fft_mxu != "auto":
         return cfg.fft_mxu
+    if jax.default_backend() != "tpu":
+        return "highest"
     return "bf16x3" if _BF16X3_IN_AUTO else "highest"
 
 
@@ -195,6 +200,22 @@ def _resolve_pairx(cfg: ModelConfig) -> bool:
     if cfg.fft_pairx != "auto":
         return cfg.fft_pairx == "on"
     return _PAIRX_IN_AUTO
+
+
+# Hardware gate for the monolithic single-pass inversion kernel
+# (fft_mono="auto"): may only be True in a commit whose scripts/tpu_smoke.py
+# JSON shows the mono variant compiling AND matching the no-Pallas oracle on
+# the real chip at 2048^2. fft_mono="on" stays an explicit opt-in either way.
+_MONO_IN_AUTO = False
+
+
+def _resolve_mono(cfg: ModelConfig) -> bool:
+    """Resolve fft_mono="auto" (see config.ModelConfig.fft_mono and
+    _MONO_IN_AUTO); the VMEM shape bound is applied downstream
+    (pallas_fft.mono_fits)."""
+    if cfg.fft_mono != "auto":
+        return cfg.fft_mono == "on"
+    return _MONO_IN_AUTO
 
 
 def _resolve_fft_impl(cfg: ModelConfig) -> str:
@@ -243,7 +264,7 @@ def _build_packed_inverter(cfg: ModelConfig):
         return PackedModalInverterPallasFFT(
             cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
             cfg.back_projection_matrix(), mxu=_resolve_fft_mxu(cfg),
-            pair_x=_resolve_pairx(cfg))
+            pair_x=_resolve_pairx(cfg), mono=_resolve_mono(cfg))
     cls = PackedModalInverterMXU if impl == "matmul" else PackedModalInverter
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())

@@ -592,6 +592,141 @@ def _build_pair_x_kernel(M: int, P: int, consts, mxu: str = "highest"):
     return kernel
 
 
+def mono_fits(M: int, P: int) -> bool:
+    """Scoped-VMEM bound for the monolithic single-pass inversion kernel:
+    the whole packed planar field (2, M, P) f32 resident in VMEM, the 8
+    twiddle-folded G operand stacks, plus the larger of the two stage
+    working sets (pair-x: ~14 strip-equivalents of live forward/mirror/
+    inverse values; y-tiles: ~8 row-tile-equivalents)."""
+    if not (pallas_fft_supported(M) and pallas_fft_supported(P)
+            and _x_blockspec_fits(M, P)):
+        return False
+    field = 2 * M * P * 4
+    g_ops = 2 * ((M // _N1) + (P // _N1)) * 2 * _N1 * _N1 * 4
+    strip = 2 * M * _N1 * 4
+    ytile = 8 * _pick_rows(M, P) * P * 4
+    return field + g_ops + max(14 * strip, ytile) <= _VMEM_TARGET_STREAM
+
+
+def _build_mono_kernel(M: int, P: int, consts, R: int,
+                       mxu: str = "highest"):
+    """The ENTIRE packed modal inversion as ONE kernel HBM pass.
+
+    At 2048^2 the packed planar field is 33.6 MB — it fits in v5e VMEM
+    (128 MB physical), so instead of three kernel passes (forward-y, pair-x,
+    inverse-y) each paying an HBM read+write of the field, a single kernel
+    DMAs the field in ONCE, runs all three stages on the VMEM-resident
+    array in place, and DMAs psi out ONCE: 4 planes of HBM traffic for the
+    whole inversion instead of 12.
+
+    Exploits the TPU grid's sequential execution (scratch persists across
+    grid invocations — the same property the streaming kernels'
+    double-buffering relies on): grid = (n2y//2 + 1,) mirror pairs exactly
+    as _build_pair_x_kernel; invocation 0 additionally performs the input
+    DMA + forward-y (fori_loop over row tiles), the last invocation the
+    inverse-y + output DMA. The x-stage reads its two strips as values
+    before overwriting them, and distinct pairs touch disjoint strips, so
+    the in-place update is race-free.
+
+    Same math as forward-y + pair-x + inverse-y (the composition the
+    equality test asserts): identical per-block op sequence, so results
+    match the 3-pass path exactly.
+    """
+    N2, _, _, _ = _plan(M, "x", False)
+    n2y = P // _N1
+    yf = make_y_tile_transform(P, inverse=False, mxu=mxu)
+    yb = make_y_tile_transform(P, inverse=True, mxu=mxu)
+
+    def kernel(gyfr, gyfi, gybr, gybi, gxfr, gxfi, gxir, gxii,
+               z_hbm, o_hbm, field, sems):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+
+        def row_tiles(transform, gr, gi):
+            def body(t, carry):
+                r0 = pl.multiple_of(t * R, 8)
+                yr, yi = transform(field[0, pl.ds(r0, R), :],
+                                   field[1, pl.ds(r0, R), :], gr, gi)
+                field[0, pl.ds(r0, R), :] = yr
+                field[1, pl.ds(r0, R), :] = yi
+                return carry
+            jax.lax.fori_loop(0, M // R, body, 0)
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(z_hbm, field, sems.at[0])
+            cp.start()
+            cp.wait()
+            row_tiles(yf, gyfr, gyfi)
+
+        # --- mirror-pair x-stage on the VMEM-resident y-spectrum ---
+        a = i
+        b = jax.lax.rem(jnp.asarray(n2y, i.dtype) - i,
+                        jnp.asarray(n2y, i.dtype))
+        jflip, jroll = _perm_matrices()
+
+        def load_strip(j):
+            off = pl.multiple_of(j * _N1, _N1)
+            return (field[0, :, pl.ds(off, _N1)],
+                    field[1, :, pl.ds(off, _N1)])
+
+        def blk(arr, c):
+            return arr[c * _N1:(c + 1) * _N1, :]
+
+        def fwd(xr, xi):
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            return [
+                _cdot(sr, si, gxfr[c], gxfi[c], left=True, mxu=mxu)
+                for c, (sr, si) in enumerate(smalls)
+            ]
+
+        Wa = fwd(*load_strip(a))
+        Wb = fwd(*load_strip(b))
+
+        def invert(W, Wm, jstrip):
+            jlane = jnp.where(jstrip == 0, jroll, jflip)
+            WmL = [(_pdot(wr, jlane), _pdot(wi, jlane)) for wr, wi in Wm]
+            pairs = []
+            for c in range(N2):
+                r = (-c) % N2
+                jrow = jroll if c == 0 else jflip
+                wnr = _pdot(WmL[r][0], jrow, left=True)
+                wni = _pdot(WmL[r][1], jrow, left=True)
+                ar, ai, br, bi = _symbols_for_block(M, P, c, jstrip, consts)
+                wr_, wi_ = W[c]
+                vr = ar * wr_ - ai * wi_ + br * wnr + bi * wni
+                vi = ai * wr_ + ar * wi_ + bi * wnr - br * wni
+                pairs.append(_cdot(vr, vi, gxir[c], gxii[c], left=True,
+                                   mxu=mxu))
+            return _chunk_dft(pairs, +1, 1.0 / N2)
+
+        Va = invert(Wa, Wb, a)
+        Vb = invert(Wb, Wa, b)
+
+        def store_strip(V, j):
+            off = pl.multiple_of(j * _N1, _N1)
+            for c in range(N2):
+                sr, si = V[c]
+                field[0, c * _N1:(c + 1) * _N1, pl.ds(off, _N1)] = sr
+                field[1, c * _N1:(c + 1) * _N1, pl.ds(off, _N1)] = si
+
+        store_strip(Va, a)
+
+        @pl.when(b != a)
+        def _():
+            store_strip(Vb, b)
+
+        @pl.when(i == nprog - 1)
+        def _():
+            row_tiles(yb, gybr, gybi)
+            cp = pltpu.make_async_copy(field, o_hbm, sems.at[1])
+            cp.start()
+            cp.wait()
+
+    return kernel
+
+
 def _build_fwd_symbol_inv_x_kernel_offset(M: int, P: int, consts,
                                           mxu: str = "highest"):
     """Sharded single-pass x-stage: forward-x of the local y-spectrum strip
@@ -996,6 +1131,40 @@ class PlanarFFT2:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gfr, gfi, gir, gii, Zy, Zy)
+
+    def mono_invert(self, z: Array, consts) -> Array:
+        """Packed natural-order field -> psi in ONE kernel HBM pass: the
+        field rides VMEM-resident through forward-y, the mirror-pair
+        x-stage (forward-x + symbols + inverse-x), and inverse-y (see
+        _build_mono_kernel). Caller must check ``mono_fits(M, P)``."""
+        M, P = self.M, self.P
+        key = ("mono", consts)
+        if key not in self._sym_kern_cache:
+            self._sym_kern_cache[key] = _build_mono_kernel(
+                M, P, consts, R=self._R, mxu=self._mxu)
+        n2y = P // _N1
+        ops = []
+        specs = []
+        for axis, inv in (("y", False), ("y", True),
+                          ("x", False), ("x", True)):
+            gr, gi = self._G[(axis, inv)]
+            ops += [gr, gi]
+            spec = pl.BlockSpec(gr.shape, lambda i: (0, 0, 0))
+            specs += [spec, spec]
+        return pl.pallas_call(
+            self._sym_kern_cache[key],
+            grid=(n2y // 2 + 1,),
+            in_specs=specs + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct((2, M, P), z.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, M, P), z.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_STREAM),
+        )(*ops, z)
 
     def forward(self, z: Array) -> Array:
         """Planar (2, M, P) natural order -> planar permuted spectrum."""

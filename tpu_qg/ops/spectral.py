@@ -255,14 +255,18 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
     def __init__(self, M: int, P: int, dx: float, alpha2: float,
                  P_inv, P_back, interpret: bool = False,
                  fuse_symbols: bool = True, mxu: str = "highest",
-                 pair_x: bool = False):
+                 pair_x: bool = False, mono: bool = False):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
-        from .pallas_fft import PlanarFFT2, pair_x_fits, symbol_inverse_fits
+        from .pallas_fft import (PlanarFFT2, mono_fits, pair_x_fits,
+                                 symbol_inverse_fits)
         self._pfft = PlanarFFT2(M, P, interpret=interpret, mxu=mxu)
         self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
         # Mirror-pair fused x-kernel: the whole inversion in THREE kernel
         # passes (y-forward, pair-x, y-inverse) — W never touches HBM.
         self._pair = self._fuse and pair_x and pair_x_fits(M, P)
+        # Monolithic kernel: the whole inversion in ONE kernel HBM pass
+        # (field VMEM-resident across all three stages).
+        self._mono = self._fuse and mono and mono_fits(M, P)
         if self._fuse:
             # Hashable scalar constants from which the kernel rebuilds the
             # symbols per block (pallas_fft._symbols_for_block).
@@ -273,6 +277,9 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
                 self.a1, self.a2, self.b1, self.b2)
 
     def __call__(self, zeta: Array) -> Array:
+        if self._mono:
+            return self._pfft.mono_invert(
+                zeta, self._sym_consts).astype(zeta.dtype)
         if self._pair:
             Zy = self._pfft._call_y(zeta, False)
             v = self._pfft._call_y(
