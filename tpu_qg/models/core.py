@@ -236,16 +236,23 @@ def _resolve_fft_impl(cfg: ModelConfig) -> str:
     from ..ops.matmul_fft import split_factor
     if cfg.use_pallas and _PALLAS_FFT_IN_AUTO:
         from ..ops.pallas_fft import planar_fft2_fits
-        # Hardware-validated regime: BlockSpec x-kernels with N2 <= 32 per
-        # extent. 2048^2-class evidence: tpu_smoke_6e70b50.json +
-        # bench_headline_r3.json. 4096^2 (N2 = 32, recursive small stage):
-        # tpu_smoke_4ec881e_4096x4096.json (10-step vs oracle 6.1e-6) and
-        # bench 2.96e9 gridpoint-steps/s vs 0.96e9 for the matmul tier —
-        # the round-2 auto route silently 3x-underperformed here (VERDICT
-        # round-2 item 6). The streaming x-kernel (8192, N2 = 64) stays an
-        # explicit opt-in (fft_impl="pallas").
-        if (planar_fft2_fits(cfg.M, cfg.P)
-                and cfg.M <= 32 * 128 and cfg.P <= 32 * 128):
+        # Hardware-validated regime, all shapes planar_fft2_fits admits
+        # (BlockSpec x-kernels to N2 = 32 per extent, streaming x-kernels at
+        # 8192). Evidence ladder:
+        #   2048^2: tpu_smoke_6e70b50.json + bench_headline_r3.json.
+        #   4096^2 (N2 = 32, recursive small stage):
+        #     tpu_smoke_4ec881e_4096x4096.json (10-step vs oracle 6.1e-6),
+        #     bench 2.96e9 gridpoint-steps/s vs 0.96e9 matmul (the round-2
+        #     auto route silently 3x-underperformed here).
+        #   8192^2 (N2 = 64, streaming x-kernel):
+        #     tpu_smoke_65cd376_8192x8192.json (10-step vs oracle 1.8e-5;
+        #     round 2's 3.0e-4 gate failure does not reproduce with the
+        #     current kernels), results/inv_f64_check_8192.json (vs the
+        #     float64 oracle the kernel algorithm errs 2.9e-4 — BETTER than
+        #     the f32 jnp.fft path's 3.3e-4; the old pairwise-f32 metric
+        #     measured low-k-amplified noise), and bench 2.63e9
+        #     gridpoint-steps/s vs 0.83e9 matmul / 1.01e9 xla (r3_hw_log).
+        if planar_fft2_fits(cfg.M, cfg.P):
             return "pallas"
     if split_factor(cfg.M)[0] >= 8 and split_factor(cfg.P)[0] >= 8:
         return "matmul"
