@@ -8,6 +8,12 @@ cd /root/repo
 LOG=results/r3_hw_log.txt
 echo "=== phase C start $(date -u +%H:%M:%S) rev=$(git rev-parse --short HEAD) ===" >> "$LOG"
 
+for MODE in pallas matmul; do
+  echo "--- bench 4096 --mode $MODE $(date -u +%H:%M:%S) ---" >> "$LOG"
+  timeout -k 30 2700 python bench.py --mode "$MODE" --M 4096 --P 4096 >> "$LOG" 2>&1
+  echo "--- rc=$? $(date -u +%H:%M:%S) ---" >> "$LOG"
+done
+
 python scripts/tpu_smoke.py --M 8192 --P 8192 --inversion-only \
   --variants plain matmul pallas pallas-bf16x3 --timeout 2700 >> "$LOG" 2>&1
 

@@ -206,6 +206,14 @@ def _resolve_pairx(cfg: ModelConfig) -> bool:
 # (fft_mono="auto"): may only be True in a commit whose scripts/tpu_smoke.py
 # JSON shows the mono variant compiling AND matching the no-Pallas oracle on
 # the real chip at 2048^2. fft_mono="on" stays an explicit opt-in either way.
+# Round-3 decision: stays False ON EVIDENCE. tpu_smoke_14e85bc.json shows
+# mono-bf16x3 ok (1.8e-6 vs oracle) and the 50-step bench protocol measures
+# it TIED with pairx-bf16x3 within tunnel noise (2.49-2.63e9 vs 2.45-2.67e9
+# gridpoint-steps/s — the step is compute-bound, not HBM-bound, at 2048^2,
+# so collapsing 3 inversion passes to 1 buys throughput nothing). Mono wins
+# decisively in the DISPATCH-bound regime (10-step chunks: 5.5 ms/step vs
+# ~53 for the 3-pass path — 1 kernel launch instead of 3 per inversion), so
+# it stays the recommended opt-in for interactive / small-chunk runs.
 _MONO_IN_AUTO = False
 
 
