@@ -123,11 +123,13 @@ def result_line(gps: float, M: int = 2048, P: int = 2048) -> str:
     })
 
 
-def _try_subprocess(mode: str, timeout: float):
+def _try_subprocess(mode: str, timeout: float, M: int = 2048,
+                    P: int = 2048):
     """Run one tier in a subprocess; return its JSON line or None."""
     try:
         out = subprocess.run(
-            [sys.executable, __file__, "--mode", mode],
+            [sys.executable, __file__, "--mode", mode,
+             "--M", str(M), "--P", str(P)],
             capture_output=True, text=True, timeout=timeout,
         )
     except subprocess.TimeoutExpired:
@@ -162,7 +164,7 @@ def main():
     # bf16x3); "pallas-hi" is the round-2-validated fused config pinned, so a
     # gated-in experiment failing can never cost more than one tier.
     for mode in ("pallas", "pallas-hi", "matmul", "xla"):
-        line = _try_subprocess(mode, args.tier_timeout)
+        line = _try_subprocess(mode, args.tier_timeout, args.M, args.P)
         if line is not None:
             print(line)
             return
@@ -171,8 +173,8 @@ def main():
     # tunnel hang during the plain compile cannot be interrupted inline
     # (processes blocked in the remote compile RPC ignore signals), and the
     # headline JSON must ALWAYS be printed.
-    line = _try_subprocess("plain", args.tier_timeout)
-    print(line if line is not None else result_line(0.0))
+    line = _try_subprocess("plain", args.tier_timeout, args.M, args.P)
+    print(line if line is not None else result_line(0.0, args.M, args.P))
 
 
 if __name__ == "__main__":
