@@ -111,16 +111,25 @@ def bench(mode: str, M=2048, P=2048, steps_per_chunk=50, reps=4):
     if not bool(jnp.isfinite(state.zeta).all()):
         raise RuntimeError(f"tier {mode}: non-finite state after "
                            f"{steps_per_chunk * (reps + 1)} steps")
-    return M * P * steps_per_chunk / best
+    # Roofline companion (VERDICT round-3 item 9): every headline number
+    # carries its fraction of the HBM-bandwidth light-speed estimate.
+    from tpu_qg.utils.profiling import roofline_report
+    frac = roofline_report(cfg, best / steps_per_chunk)[
+        "fraction_of_light_speed"]
+    return M * P * steps_per_chunk / best, frac
 
 
-def result_line(gps: float, M: int = 2048, P: int = 2048) -> str:
-    return json.dumps({
+def result_line(gps: float, M: int = 2048, P: int = 2048,
+                roofline_fraction=None) -> str:
+    rec = {
         "metric": f"gridpoint-steps/s per chip, two-layer QG {M}x{P} float32",
         "value": round(gps, 1),
         "unit": "gridpoint-steps/s",
         "vs_baseline": round(gps / _REF_GRIDPOINT_STEPS_PER_S, 2),
-    })
+    }
+    if roofline_fraction is not None:
+        rec["hbm_roofline_fraction"] = round(roofline_fraction, 3)
+    return json.dumps(rec)
 
 
 def _try_subprocess(mode: str, timeout: float, M: int = 2048,
@@ -157,7 +166,8 @@ def main():
     args = parser.parse_args()
 
     if args.mode != "auto":
-        print(result_line(bench(args.mode, M=args.M, P=args.P), args.M, args.P))
+        gps, frac = bench(args.mode, M=args.M, P=args.P)
+        print(result_line(gps, args.M, args.P, roofline_fraction=frac))
         return
 
     # "pallas" follows the hardware gates (may include the y-fused chain and

@@ -28,9 +28,11 @@ import os
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO not in sys.path:
-    sys.path.insert(0, REPO)
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(_SCRIPTS)
+for _p in (REPO, _SCRIPTS):   # _SCRIPTS: `from tpu_smoke import VARIANTS`
+    if _p not in sys.path:    # must resolve from any cwd / -m invocation
+        sys.path.insert(0, _p)
 
 STEPS = 10
 

@@ -102,6 +102,27 @@ def run_inner(variant: str, M: int, P: int, steps: int,
     rec = {"variant": variant, "M": M, "P": P, "steps": steps,
            **overrides, "platform": jax.devices()[0].platform}
 
+    # Record which inversion form actually ENGAGED (ADVICE.md round 3: a
+    # silent fits-gate fallback must never masquerade as kernel evidence —
+    # round 3's "mono" smokes actually measured pairx because mono_fits
+    # rejected 2048^2). The explicit-pin ValueError in
+    # models.core._build_packed_inverter now also fails such runs loudly.
+    from tpu_qg.models.core import _build_solvers
+    try:
+        _s = _build_solvers(cfg)
+        rec["engaged"] = {
+            "inverter": type(_s).__name__,
+            "fuse": getattr(_s, "_fuse", None),
+            "pair": getattr(_s, "_pair", None),
+            "mono": getattr(_s, "_mono", None),
+            "stream_x": getattr(getattr(_s, "_pfft", None), "_stream_x",
+                                None),
+        }
+    except ValueError as e:   # pinned form cannot engage: fail loudly
+        rec["ok"] = False
+        rec["error_tail"] = [str(e)]
+        return rec
+
     if inversion_only:
         # Transform-level accuracy: ONE zeta -> psi inversion vs the plain
         # (jnp.fft packed) inverter on the same input. Separates the

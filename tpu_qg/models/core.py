@@ -217,6 +217,38 @@ def _resolve_pairx(cfg: ModelConfig) -> bool:
 _MONO_IN_AUTO = False
 
 
+# Hardware gate for routing DISPATCH-BOUND runs (small scan chunks — e.g.
+# run.py with a short sample interval) to the monolithic inversion kernel
+# under fft_mono="auto" (VERDICT round-3 item 7). May only be True in a
+# commit whose evidence shows mono and the 3-pass path measured BACK TO BACK
+# in one session at a small chunk size (round 3's 5.5-vs-53 ms claim
+# compared two runs under a 6x host-load difference AND mono never actually
+# engaged — ADVICE.md round 3).
+# Gate evidence: none yet — stays False until a back-to-back
+# results/dispatch_regime_*.json lands from the real chip.
+_MONO_SMALL_CHUNK_IN_AUTO = False
+_MONO_CHUNK_CROSSOVER = 25   # scan-chunk steps below which mono wins
+
+
+def resolve_mono_for_chunk(cfg: ModelConfig, chunk_steps: int) -> ModelConfig:
+    """Chunk-size-aware fft_mono="auto" resolution for drivers that know
+    their scan-chunk length (run.py): in the dispatch-bound regime (chunks
+    below the measured crossover) the single-kernel-launch inversion wins
+    by a wide margin on the remote-tunnel chip, so route to it when the
+    shape admits it. No-op unless fft_mono is "auto" and the hardware gate
+    (_MONO_SMALL_CHUNK_IN_AUTO) is flipped on evidence."""
+    if (cfg.fft_mono != "auto" or not _MONO_SMALL_CHUNK_IN_AUTO
+            or chunk_steps >= _MONO_CHUNK_CROSSOVER
+            or jax.default_backend() != "tpu"):
+        return cfg
+    if _resolve_fft_impl(cfg) != "pallas":
+        return cfg
+    from ..ops.pallas_fft import mono_fits
+    if mono_fits(cfg.M, cfg.P):
+        return cfg.replace(fft_mono="on")
+    return cfg
+
+
 def _resolve_mono(cfg: ModelConfig) -> bool:
     """Resolve fft_mono="auto" (see config.ModelConfig.fft_mono and
     _MONO_IN_AUTO); the VMEM shape bound is applied downstream
@@ -276,10 +308,25 @@ def _build_packed_inverter(cfg: ModelConfig):
                                 PackedModalInverterPallasFFT)
     impl = _resolve_fft_impl(cfg)
     if impl == "pallas":
-        return PackedModalInverterPallasFFT(
+        inv = PackedModalInverterPallasFFT(
             cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
             cfg.back_projection_matrix(), mxu=_resolve_fft_mxu(cfg),
             pair_x=_resolve_pairx(cfg), mono=_resolve_mono(cfg))
+        # An explicitly pinned kernel form that cannot engage must FAIL, not
+        # silently degrade to another path — a silent downgrade is how
+        # round 3's "mono" hardware evidence ended up actually measuring the
+        # pairx path (ADVICE.md round 3). "auto" stays free to fall back.
+        if cfg.fft_mono == "on" and not inv._mono:
+            raise ValueError(
+                f"fft_mono='on' requested but the monolithic kernel cannot "
+                f"engage at ({cfg.M}, {cfg.P}) (mono_fits/fuse rejected); "
+                "use fft_mono='auto' to allow fallback")
+        if cfg.fft_pairx == "on" and not (inv._pair or inv._mono):
+            raise ValueError(
+                f"fft_pairx='on' requested but the mirror-pair kernel cannot "
+                f"engage at ({cfg.M}, {cfg.P}) (pair_x_fits/fuse rejected); "
+                "use fft_pairx='auto' to allow fallback")
+        return inv
     cls = PackedModalInverterMXU if impl == "matmul" else PackedModalInverter
     return cls(cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                cfg.back_projection_matrix())

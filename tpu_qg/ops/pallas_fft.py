@@ -596,8 +596,17 @@ def mono_fits(M: int, P: int) -> bool:
     """Scoped-VMEM bound for the monolithic single-pass inversion kernel:
     the whole packed planar field (2, M, P) f32 resident in VMEM, the 8
     twiddle-folded G operand stacks, plus the larger of the two stage
-    working sets (pair-x: ~14 strip-equivalents of live forward/mirror/
-    inverse values; y-tiles: ~8 row-tile-equivalents)."""
+    working sets. Unlike the pair-x kernel's 14-strip model (which counts
+    pipeline-double-buffered BlockSpec input strips and two staged output
+    buffers), the mono x-stage reads its two strips as VALUES from the
+    VMEM-resident field and stores back in place — its live set is the
+    forward spectra of the pair + the lane/sublane-negated mirror copies +
+    the combine outputs, ~8 strip-equivalents (the round-3 model's borrowed
+    14-strip figure over-counted by the in/out buffers the mono form does
+    not have, silently rejecting the kernel's own 2048^2 design point —
+    ADVICE.md round 3; the round-4 hardware smoke must show mono ENGAGED
+    (rec["engaged"]["mono"] is True in the smoke JSON) compiling and
+    matching the oracle at 2048^2 before any default routes through it)."""
     if not (pallas_fft_supported(M) and pallas_fft_supported(P)
             and _x_blockspec_fits(M, P)):
         return False
@@ -605,7 +614,7 @@ def mono_fits(M: int, P: int) -> bool:
     g_ops = 2 * ((M // _N1) + (P // _N1)) * 2 * _N1 * _N1 * 4
     strip = 2 * M * _N1 * 4
     ytile = 8 * _pick_rows(M, P) * P * 4
-    return field + g_ops + max(14 * strip, ytile) <= _VMEM_TARGET_STREAM
+    return field + g_ops + max(8 * strip, ytile) <= _VMEM_TARGET_STREAM
 
 
 def _build_mono_kernel(M: int, P: int, consts, R: int,
@@ -780,6 +789,112 @@ def _build_fwd_symbol_inv_x_kernel_offset(M: int, P: int, consts,
             sr, si = outs[c]
             o_ref[0, c * _N1:(c + 1) * _N1, :] = sr
             o_ref[1, c * _N1:(c + 1) * _N1, :] = si
+
+    return kernel
+
+
+def stream_pair_x_footprint(M: int) -> int:
+    """Explicit VMEM model for the streaming fwd+symbol+inverse-x pair
+    kernel (_build_streaming_fwd_sym_inv_x_pair): 2 single-buffered input
+    strips (Zy, Zm) + 1 output stage + ~4 strip-equivalents of live values
+    (W, lane-negated Wm, combine pairs, small-stage outputs) + both
+    directions' G stacks."""
+    strip = 2 * M * _N1 * 4
+    g = 2 * 2 * (M // _N1) * _N1 * _N1 * 4
+    return 2 * strip + strip + 4 * strip + g
+
+
+# The streaming pair kernel manages every buffer explicitly (single-buffered
+# inputs, one staged output) so it budgets closer to the 128 MB physical
+# VMEM than the generic-stream target.
+_VMEM_LIMIT_STREAM_PAIR = 112 * 1024 * 1024
+_VMEM_TARGET_STREAM_PAIR = int(0.80 * _VMEM_LIMIT_STREAM_PAIR)
+
+
+def _build_streaming_fwd_sym_inv_x_pair(M: int, P: int, consts,
+                                        mxu: str = "highest"):
+    """Streaming form of ``_build_fwd_symbol_inv_x_kernel_offset`` (the
+    distributed packed inversion's single-pass x-stage) for extents where
+    the (2, M, 128) BlockSpec pipeline does not fit (M = 8192).
+
+    Grid over the LOCAL 128-lane strips of the transposed column block;
+    per strip i: blocking manual DMA of the y-spectrum strip (za) and its
+    pre-mirrored companion strip (zm) into single-buffered VMEM, forward-x
+    of both (fwd(companion) IS the mirror spectrum, as in the BlockSpec
+    form), symbols at GLOBAL strip index off + i built from iotas, inverse
+    MXU + recursive small stage, staged output DMA overlapped with the next
+    strip's compute. Single-buffered inputs: the kernel is MXU/VPU-bound
+    (two forwards + one inverse per strip), so input-fetch overlap matters
+    less than staying inside the explicit VMEM budget
+    (``stream_pair_x_footprint``)."""
+    N2, _, _, _ = _plan(M, "x", False)
+
+    def kernel(off_ref, gfr, gfi, gir, gii, za_hbm, zm_hbm, o_ref,
+               za_buf, zm_buf, stage, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        j = off_ref[0] + i              # global strip index
+        jflip, jroll = _perm_matrices()
+
+        cp_a = pltpu.make_async_copy(
+            za_hbm.at[:, :, pl.ds(i * _N1, _N1)], za_buf, sems.at[0])
+        cp_m = pltpu.make_async_copy(
+            zm_hbm.at[:, :, pl.ds(i * _N1, _N1)], zm_buf, sems.at[1])
+        cp_a.start()
+        cp_m.start()
+        cp_a.wait()
+        cp_m.wait()
+
+        # The single output stage is reused every strip: strip i-1's store
+        # must have drained before we overwrite it.
+        @pl.when(i > 0)
+        def _():
+            pltpu.make_async_copy(
+                stage, o_ref.at[:, :, pl.ds((i - 1) * _N1, _N1)],
+                sems.at[2]).wait()
+
+        def blk(a, c):
+            return a[c * _N1:(c + 1) * _N1, :]
+
+        def fwd(buf):
+            xr, xi = buf[0], buf[1]
+            smalls = _chunk_dft([(blk(xr, s), blk(xi, s))
+                                 for s in range(N2)], -1)
+            return [
+                _cdot(sr, si, gfr[c], gfi[c], left=True, mxu=mxu)
+                for c, (sr, si) in enumerate(smalls)
+            ]
+
+        W = fwd(za_buf)
+        Wm = fwd(zm_buf)
+
+        jlane = jnp.where(j == 0, jroll, jflip)
+        WmL = [(_pdot(wr, jlane), _pdot(wi, jlane)) for wr, wi in Wm]
+        pairs = []
+        for c in range(N2):
+            r = (-c) % N2
+            jrow = jroll if c == 0 else jflip
+            wnr = _pdot(WmL[r][0], jrow, left=True)
+            wni = _pdot(WmL[r][1], jrow, left=True)
+            ar, ai, br, bi = _symbols_for_block(M, P, c, j, consts)
+            wr_, wi_ = W[c]
+            vr = ar * wr_ - ai * wi_ + br * wnr + bi * wni
+            vi = ai * wr_ + ar * wi_ + bi * wnr - br * wni
+            pairs.append(_cdot(vr, vi, gir[c], gii[c], left=True, mxu=mxu))
+
+        outs = _chunk_dft(pairs, +1, 1.0 / N2)
+        for c in range(N2):
+            sr, si = outs[c]
+            stage[0, c * _N1:(c + 1) * _N1, :] = sr
+            stage[1, c * _N1:(c + 1) * _N1, :] = si
+
+        cp_o = pltpu.make_async_copy(
+            stage, o_ref.at[:, :, pl.ds(i * _N1, _N1)], sems.at[2])
+        cp_o.start()
+
+        @pl.when(i == n - 1)
+        def _():
+            cp_o.wait()
 
     return kernel
 
@@ -1070,9 +1185,43 @@ class PlanarFFT2:
                                    strip_offset: Array) -> Array:
         """Sharded single-pass x-stage over local column blocks of the
         y-spectrum and its pre-mirrored companion (see
-        _build_fwd_symbol_inv_x_kernel_offset)."""
+        _build_fwd_symbol_inv_x_kernel_offset); routes to the manual-DMA
+        streaming form (_build_streaming_fwd_sym_inv_x_pair) when the
+        BlockSpec pipeline does not fit (M = 8192)."""
         M = self.M
         cols = Zy.shape[2]
+        if self._stream_x:
+            key = ("fwd-offset-stream", consts)
+            if key not in self._sym_kern_cache:
+                self._sym_kern_cache[key] = \
+                    _build_streaming_fwd_sym_inv_x_pair(
+                        M, self.P, consts, mxu=self._mxu)
+            gfr, gfi = self._G[("x", False)]
+            gir, gii = self._G[("x", True)]
+            n2x = gfr.shape[0]
+            gspec = pl.BlockSpec((n2x, _N1, _N1), lambda i, s: (0, 0, 0))
+            hspec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(cols // _N1,),
+                in_specs=[gspec, gspec, gspec, gspec, hspec, hspec],
+                out_specs=hspec,
+                scratch_shapes=[
+                    pltpu.VMEM((2, M, _N1), Zy.dtype),
+                    pltpu.VMEM((2, M, _N1), Zy.dtype),
+                    pltpu.VMEM((2, M, _N1), Zy.dtype),
+                    pltpu.SemaphoreType.DMA((3,)),
+                ],
+            )
+            return pl.pallas_call(
+                self._sym_kern_cache[key],
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(Zy.shape, Zy.dtype),
+                interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT_STREAM_PAIR),
+            )(jnp.asarray(strip_offset, jnp.int32).reshape(1),
+              gfr, gfi, gir, gii, Zy, Zm)
         gfr, gfi = self._G[("x", False)]
         gir, gii = self._G[("x", True)]
         key = ("fwd-offset", consts)

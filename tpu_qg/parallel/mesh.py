@@ -18,20 +18,48 @@ def _factor2(n: int) -> Tuple[int, int]:
     return a, n // a
 
 
+def preferred_mesh_shape(cfg, n_devices: int) -> Tuple[int, int]:
+    """Mesh shape for ``n_devices`` given the model config: (N, 1) whenever
+    the Pallas-fused sharded path supports that shape (the fused kernels
+    need rows-sharded, y-local layouts — tpu_qg.parallel.stepper
+    ``fused_halo_supported``), else the most-square split.
+
+    Round-3 VERDICT item 3: ``make_mesh`` defaulted to most-square (8
+    devices -> 4x2), silently routing pod presets off the fused kernels
+    even where an (8, 1) mesh would have kept them on it.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas_tendency import sharded_pallas_supported
+    from .packed import distributed_packed_supported
+
+    if (cfg is not None and cfg.n_layers == 2
+            and cfg.poisson_gauge == "zero_mean" and cfg.use_pallas
+            and jnp.dtype(cfg.dtype).itemsize == 4
+            and cfg.M % n_devices == 0
+            and sharded_pallas_supported(2, cfg.M // n_devices, cfg.P, 4)
+            and distributed_packed_supported(cfg.M, cfg.P, n_devices)):
+        return (n_devices, 1)
+    return _factor2(n_devices)
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               axis_names: Sequence[str] = ("x", "y"),
-              devices=None) -> Mesh:
+              devices=None, cfg=None) -> Mesh:
     """Build a 2-D ('x', 'y') device mesh over the available devices.
 
-    ``shape=None`` uses all devices in the most-square arrangement; an
-    explicit shape smaller than the device count takes the FIRST nx*ny
-    devices (e.g. ``--mesh 4,1`` on an 8-device host). Axis 'x' shards the
-    M (first spatial) dimension, 'y' the P dimension.
+    ``shape=None`` uses all devices — in the fused-path-preferred (N, 1)
+    arrangement when a ``cfg`` is given and supports it
+    (``preferred_mesh_shape``), else most-square. An explicit shape smaller
+    than the device count takes the FIRST nx*ny devices (e.g. ``--mesh 4,1``
+    on an 8-device host). Axis 'x' shards the M (first spatial) dimension,
+    'y' the P dimension.
     """
     devices = jax.devices() if devices is None else devices
     n = len(devices)
     if shape is None:
-        shape = _factor2(n)
+        shape = preferred_mesh_shape(cfg, n) if cfg is not None \
+            else _factor2(n)
     if shape[0] * shape[1] > n:
         raise ValueError(f"mesh shape {shape} needs more than the {n} "
                          "available devices")

@@ -89,6 +89,17 @@ def run_model(
     if verbose:
         log_model_params(cfg)
 
+    total = cfg.total_steps if n_steps is None else n_steps
+    sample_steps = max(int(sample_interval // cfg.dt), 1)
+
+    if mesh is None:
+        # Dispatch-bound routing: short scan chunks resolve fft_mono="auto"
+        # to the single-launch monolithic inversion where measured to win
+        # (models.core.resolve_mono_for_chunk; no-op until its hardware gate
+        # is flipped on back-to-back evidence).
+        from .models.core import resolve_mono_for_chunk
+        cfg = resolve_mono_for_chunk(cfg, min(sample_steps, total))
+
     model = QGModel(cfg)
     if mesh is not None:
         from .parallel.gspmd import make_sharded_run_fn, shard_state
@@ -97,8 +108,6 @@ def run_model(
             run_fn = make_halo_run_fn(cfg, mesh)
         else:
             run_fn = make_sharded_run_fn(cfg, mesh)
-    total = cfg.total_steps if n_steps is None else n_steps
-    sample_steps = max(int(sample_interval // cfg.dt), 1)
 
     save = save_results
     writer = None
@@ -234,12 +243,6 @@ def main(argv=None) -> None:
         else:
             jax.distributed.initialize()
 
-    mesh = None
-    if args.distributed or args.mesh:
-        from .parallel import make_mesh
-        shape = tuple(int(v) for v in args.mesh.split(",")) if args.mesh else None
-        mesh = make_mesh(shape)
-
     cfg = preset(args.preset)
     overrides = {}
     for kv in args.set:
@@ -248,6 +251,15 @@ def main(argv=None) -> None:
         overrides[k] = field_type(json.loads(v) if field_type is bool else v)
     if overrides:
         cfg = cfg.replace(**overrides)
+
+    mesh = None
+    if args.distributed or args.mesh:
+        from .parallel import make_mesh
+        shape = tuple(int(v) for v in args.mesh.split(",")) if args.mesh else None
+        # With no explicit --mesh the shape follows the config: (N, 1) when
+        # the fused sharded kernels support it (see
+        # parallel.mesh.preferred_mesh_shape), else most-square.
+        mesh = make_mesh(shape, cfg=cfg)
 
     t0 = time.perf_counter()
     run_model(
