@@ -44,26 +44,31 @@ _REF_GRIDPOINT_STEPS_PER_S = 256 * 256 * 24 / 5.141
 # decomposition measurements.
 _MODES = {
     "pallas": dict(use_pallas=True, fft_impl="pallas"),
-    "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
-    "chain-pairx": dict(use_pallas=True, fft_impl="pallas",
+    "chain": dict(step_full="off", use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "chain-pairx": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                         step_chain="on", fft_pairx="on"),
-    "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "chain-pairx-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                                fft_mxu="bf16x3", step_chain="on",
                                fft_pairx="on"),
-    "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+    "pairx": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_pairx="on",
                   step_chain="off"),
-    "pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+    "pairx-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_pairx="on",
                          fft_mxu="bf16x3", step_chain="off"),
-    "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "chain-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                          fft_mxu="bf16x3", step_chain="on"),
-    "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "pallas-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                           fft_mxu="bf16x3", step_chain="off"),
-    "pallas-hi": dict(use_pallas=True, fft_impl="pallas",
+    "pallas-hi": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                       fft_mxu="highest", step_chain="off"),
-    "mono-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+    "mono-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_mono="on",
                         fft_mxu="bf16x3", step_chain="off"),
-    "mono": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+    "mono": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_mono="on",
                  fft_mxu="highest", step_chain="off"),
+    "fullstep-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                            step_full="on", fft_mxu="bf16x3",
+                            step_chain="off"),
+    "fullstep": dict(use_pallas=True, fft_impl="pallas", step_full="on",
+                     fft_mxu="highest", step_chain="off"),
     "matmul": dict(use_pallas=True, fft_impl="matmul"),
     "xla": dict(use_pallas=True, fft_impl="xla"),
     "plain": dict(use_pallas=False, fft_impl="xla"),

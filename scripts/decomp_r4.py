@@ -55,9 +55,11 @@ from tpu_qg.models import core  # noqa: E402
 
 _OVR = {
     "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
-                  fft_mxu="bf16x3", step_chain="off"),
+                  fft_mxu="bf16x3", step_chain="off", step_full="off"),
     "mono": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
-                 fft_mxu="bf16x3", step_chain="off"),
+                 fft_mxu="bf16x3", step_chain="off", step_full="off"),
+    "fullstep": dict(use_pallas=True, fft_impl="pallas", step_full="on",
+                     fft_mxu="bf16x3", step_chain="off"),
 }
 
 

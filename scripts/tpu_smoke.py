@@ -55,27 +55,36 @@ VARIANTS = {
     "pallas": dict(use_pallas=True, fft_impl="pallas"),
     # bf16x3 MXU stage inside the Pallas DFT kernels (gate for
     # models/core._BF16X3_IN_AUTO).
-    "pallas-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "pallas-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                           fft_mxu="bf16x3"),
+    # Highest-precision MXU stage pinned (isolates the bf16x3 contribution
+    # in f64 adjudications — ADVICE.md round 3).
+    "pallas-hi": dict(step_full="off", use_pallas=True, fft_impl="pallas",
+                      fft_mxu="highest"),
     # y-fused three-kernel step chain (gate for models/core._YFUSED_IN_AUTO).
-    "chain": dict(use_pallas=True, fft_impl="pallas", step_chain="on"),
-    "chain-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "chain": dict(step_full="off", use_pallas=True, fft_impl="pallas", step_chain="on"),
+    "chain-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                          fft_mxu="bf16x3", step_chain="on"),
     # mirror-pair fused x-kernel (gate for models/core._PAIRX_IN_AUTO).
-    "pairx": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on"),
-    "pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_pairx="on",
+    "pairx": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_pairx="on"),
+    "pairx-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_pairx="on",
                          fft_mxu="bf16x3"),
-    "chain-pairx": dict(use_pallas=True, fft_impl="pallas",
+    "chain-pairx": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                         step_chain="on", fft_pairx="on"),
-    "chain-pairx-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+    "chain-pairx-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas",
                                fft_mxu="bf16x3", step_chain="on",
                                fft_pairx="on"),
     # monolithic single-pass inversion kernel (gate for
     # models/core._MONO_IN_AUTO).
-    "mono": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+    "mono": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_mono="on",
                  fft_mxu="highest"),
-    "mono-bf16x3": dict(use_pallas=True, fft_impl="pallas", fft_mono="on",
+    "mono-bf16x3": dict(step_full="off", use_pallas=True, fft_impl="pallas", fft_mono="on",
                         fft_mxu="bf16x3"),
+    # one-launch whole-step kernel (gate for models/core._FULLSTEP_IN_AUTO).
+    "fullstep": dict(use_pallas=True, fft_impl="pallas", step_full="on",
+                     fft_mxu="highest"),
+    "fullstep-bf16x3": dict(use_pallas=True, fft_impl="pallas",
+                            step_full="on", fft_mxu="bf16x3"),
 }
 # Default run = bench.py's tier ladder; experimental variants are opt-in.
 DEFAULT_VARIANTS = ["plain", "xla", "matmul", "pallas"]
@@ -118,6 +127,13 @@ def run_inner(variant: str, M: int, P: int, steps: int,
             "stream_x": getattr(getattr(_s, "_pfft", None), "_stream_x",
                                 None),
         }
+        from tpu_qg.models.core import (_resolve_fft_impl, _resolve_fullstep,
+                                        _use_pallas)
+        from tpu_qg.ops.pallas_fullstep import fullstep_supported
+        rec["engaged"]["fullstep"] = bool(
+            _use_pallas(cfg) and _resolve_fft_impl(cfg) == "pallas"
+            and _resolve_fullstep(cfg)
+            and fullstep_supported(cfg, jnp.dtype(cfg.dtype)))
     except ValueError as e:   # pinned form cannot engage: fail loudly
         rec["ok"] = False
         rec["error_tail"] = [str(e)]

@@ -111,6 +111,17 @@ class ModelConfig:
     # "on"/"off" force it. Takes precedence over fft_pairx when active.
     fft_mono: str = "auto"
 
+    # The one-launch whole-step kernel (v6, ops/pallas_fullstep.py):
+    # tendency + time update + the ENTIRE zeta->psi inversion in a single
+    # pallas_call — the packed field rides VMEM-resident from the stencil
+    # phase through forward-y, the mirror-pair x-stage, and inverse-y
+    # (14 planes of HBM traffic and ONE kernel launch per model step vs
+    # ~26 plane-passes and 4 launches for the default). 2048^2-class only
+    # (fullstep_fits). "auto" = on once hardware-gated
+    # (models/core._FULLSTEP_IN_AUTO); "on"/"off" force it. Takes
+    # precedence over step_chain/fft_pairx/fft_mono when active.
+    step_full: str = "auto"
+
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
@@ -132,6 +143,8 @@ class ModelConfig:
             raise ValueError(f"unsupported fft_pairx {self.fft_pairx!r}")
         if self.fft_mono not in ("auto", "on", "off"):
             raise ValueError(f"unsupported fft_mono {self.fft_mono!r}")
+        if self.step_full not in ("auto", "on", "off"):
+            raise ValueError(f"unsupported step_full {self.step_full!r}")
 
     # --- derived geometry ---
     @property

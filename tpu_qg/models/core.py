@@ -364,6 +364,27 @@ def _use_pallas(cfg: ModelConfig) -> bool:
     return pallas_supported(cfg, jnp.dtype(cfg.dtype))
 
 
+# Hardware gate for the ONE-LAUNCH whole-step kernel (v6,
+# ops/pallas_fullstep.py — tendency + update + the entire inversion in a
+# single pallas_call; see config.ModelConfig.step_full). May only be True in
+# a commit whose scripts/tpu_smoke.py JSON shows the fullstep variant
+# compiling AND matching the no-Pallas oracle on the real chip at 2048^2,
+# plus a same-protocol bench win. cfg.step_full="on" stays an explicit
+# opt-in either way.
+# Gate evidence: none yet — stays False until this round's smoke + bench
+# land from the real chip.
+_FULLSTEP_IN_AUTO = False
+
+
+def _resolve_fullstep(cfg: ModelConfig) -> bool:
+    """Resolve step_full (see config.ModelConfig.step_full and
+    _FULLSTEP_IN_AUTO); the VMEM shape bound is applied by the caller via
+    pallas_fullstep.fullstep_supported."""
+    if cfg.step_full != "auto":
+        return cfg.step_full == "on"
+    return _FULLSTEP_IN_AUTO
+
+
 # Hardware gate for the y-fused three-kernel step chain in QGModel.run
 # (tendency+y-transforms, forward-x, symbol+inverse-x — the step's psi rides
 # in permuted y-spectral form between steps). May only be True in a commit
@@ -402,6 +423,11 @@ def make_chain_fns(cfg: ModelConfig, interpret: bool = False):
     semantics — checkpoints, diagnostics, samples — always see natural psi).
     """
     if cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
+        return None
+    # The one-launch whole-step kernel takes precedence over the chain —
+    # if it engages, the step is already a single pallas_call.
+    from ..ops.pallas_fullstep import fullstep_supported
+    if _resolve_fullstep(cfg) and fullstep_supported(cfg, jnp.dtype(cfg.dtype)):
         return None
     from ..ops.pallas_tendency import fused_step_streamed_yspec, yfused_supported
     if not yfused_supported(cfg, jnp.dtype(cfg.dtype)):
@@ -476,6 +502,31 @@ def make_step_fn(cfg: ModelConfig, batched_fft: bool = True):
 
     if _use_pallas(cfg) and batched_fft:
         from ..ops.spectral import PackedModalInverter
+
+        if (isinstance(solvers, PackedModalInverter)
+                and _resolve_fft_impl(cfg) == "pallas"):
+            # v6 one-launch whole step (tendency + update + the entire
+            # inversion in a single pallas_call) when resolved on and the
+            # VMEM bound admits the shape.
+            from ..ops.pallas_fullstep import (fullstep_supported,
+                                               fused_step_full)
+            full_ok = fullstep_supported(cfg, jnp.dtype(cfg.dtype))
+            if cfg.step_full == "on" and not full_ok:
+                raise ValueError(
+                    f"step_full='on' requested but the one-launch kernel "
+                    f"cannot engage at ({cfg.M}, {cfg.P}) "
+                    "(fullstep_supported rejected); use step_full='auto' "
+                    "to allow fallback")
+            if _resolve_fullstep(cfg) and full_ok:
+                mxu = _resolve_fft_mxu(cfg)
+
+                def step(state: State) -> State:
+                    zeta_new, carry, psi_new = fused_step_full(
+                        cfg, state.zeta, state.psi, state.f1, state.f2,
+                        state.step, mxu)
+                    return _next_state(state, zeta_new, psi_new, carry)
+
+                return step
 
         if isinstance(solvers, PackedModalInverter):
             # v4 streamed kernel (tendency + time update for either scheme,
