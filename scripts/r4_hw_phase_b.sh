@@ -11,8 +11,11 @@ run() { echo "[$(ts)] START $*" | tee -a "$LOG"; "$@" 2>&1 | tee -a "$LOG"; echo
 
 echo "[$(ts)] ===== phase B @ $(git rev-parse --short HEAD) =====" | tee -a "$LOG"
 
-# B1: fullstep smoke at 2048^2 (fresh oracle at this rev; engaged recorded).
-run timeout 3600 python scripts/tpu_smoke.py --variants plain fullstep-bf16x3
+# B1: fullstep smoke at 2048^2 (fresh oracle at this rev; engaged
+# recorded) + the mono/pairx oracle comparisons phase A lost to a
+# mid-session commit (the oracle cache is rev-keyed by design).
+# NOTE: do not commit while this runs — it would invalidate the oracle.
+run timeout 7200 python scripts/tpu_smoke.py --variants plain fullstep-bf16x3 mono-bf16x3 pairx-bf16x3
 
 # B2: fullstep in the one-protocol decomposition table (accumulates into
 # the same JSON as phase A's jobs).
