@@ -166,6 +166,13 @@ def main():
                 pf = inv._pfft
                 _measure(job, lambda z: pf._call_y(z, False), state0.zeta,
                          args.chunk, args.reps, rec["jobs"])
+            elif job == "addone":
+                # Scan-iteration floor probe: one elementwise full-field op
+                # per iteration (HBM floor ~0.082 ms at 2048^2). Anything
+                # measured far above it is per-iteration overhead that
+                # inflates every standalone part measurement.
+                _measure(job, lambda z: z + 1.0, state0.zeta, args.chunk,
+                         args.reps, rec["jobs"])
             else:
                 raise ValueError(f"unknown job {job!r}")
         except Exception as e:  # a failing job must not lose the session
