@@ -6,6 +6,17 @@ The metric counts grid-point-steps per second (M * P * steps / elapsed) for the
 full model step (fused tendencies + AB3 + spectral modal inversion, float32) on
 one chip at the BASELINE config-4 resolution (2048^2).
 
+Protocol (round 4): chunks of 500 steps under one jitted lax.scan, best of 3,
+completion forced by a host-transferred reduction. Rounds 1-3 used 50-step
+chunks; the round-4 floor probes (results/decomp_r4_2048_c50.json `addone`:
+a single elementwise op per scan iteration measuring 0.505 ms against an
+0.082 ms HBM floor) showed every chunk measurement carries a FIXED ~21-30 ms
+of tunnel RPC + sync latency — ~0.45 ms/step of pure measurement artifact at
+50-step chunks, which also produced the spurious "4096^2 is faster per point
+than 2048^2" gap (VERDICT round 3 item 1). 500-step chunks amortize the
+fixed cost to <0.06 ms/step; the number reported is the model, not the
+tunnel.
+
 vs_baseline: the reference has no GPU/TPU/parallel numbers; its best measured
 throughput is the M=256 sweep point — 24 steps in 5.141 s on one CPU core
 (BASELINE.md, julia_parts_graph.ipynb cell 3) = 3.06e5 grid-point-steps/s.
@@ -75,7 +86,7 @@ _MODES = {
 }
 
 
-def bench(mode: str, M=2048, P=2048, steps_per_chunk=50, reps=4):
+def bench(mode: str, M=2048, P=2048, steps_per_chunk=500, reps=3):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")

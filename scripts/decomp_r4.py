@@ -60,6 +60,10 @@ _OVR = {
                  fft_mxu="bf16x3", step_chain="off", step_full="off"),
     "fullstep": dict(use_pallas=True, fft_impl="pallas", step_full="on",
                      fft_mxu="bf16x3", step_chain="off"),
+    # Follows the models/core auto gates (the shape picks its own kernel
+    # forms — needed at 4096^2 where pair_x_fits is False and a pinned
+    # fft_pairx="on" now raises).
+    "pallas": dict(use_pallas=True, fft_impl="pallas"),
 }
 
 
