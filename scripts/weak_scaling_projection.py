@@ -1,0 +1,193 @@
+"""Analytic multi-chip scaling projection for the fused sharded step
+(VERDICT round-3 item 5): count the per-step communication against v5e ICI
+bandwidth, combine with measured per-chip compute from the real chip, and
+project efficiency at 2/4/8/16 chips. Hardware beyond one chip is not
+reachable in this environment — this model, with its assumptions stated, is
+the honest substitute.
+
+Model
+-----
+Mesh (nx, 1), rows sharded. Per step, per chip:
+
+  compute  C(nx) = measured single-chip step time x (local points / total
+           points). Strong scaling: C = T_1chip/nx. Weak scaling: C =
+           T_tile (constant).
+  comm     2 all_to_alls over the x-ring (the round-4 merged form):
+             out:  stacked y-spectrum + mirror companion, 4 planes of
+                   (M_global x P / nx) float32
+             back: V, 2 planes
+           -> D = 6 * (M_global * P / nx) * 4 bytes per chip per step.
+           Ring all_to_all, bidirectional links: total byte-hops =
+           D_total * nx/4 averaged; per-directed-link bytes = D * nx / 8
+           (exact for nx >= 4), so T_a2a = D * nx / (8 * W_link).
+           Plus 4 ppermute halo slabs (L=2, H=8 rows, P lanes) -> ~2 MB,
+           negligible (<0.01 ms), included anyway.
+
+  ICI      v5e: 4 ICI ports; a 1-D ring embedded in the 2D torus uses one
+           link per direction per neighbor. W_link = 4.5e10 B/s one-way
+           (the public per-link figure used by the scaling-book-style
+           analyses for v5e). Sustained fraction 0.8 applied.
+
+Efficiency bounds: no-overlap (compute + comm serialized; the current
+implementation — the all_to_alls sit on the step's critical path) and
+full-overlap (max(compute, comm); achievable only with strip-pipelined
+transposes, a future-round lever).
+
+Also projected: the "paired-strip" variant that ships NO mirror companion
+(a local strip pre-permutation makes each chip receive mirror PAIRS, so the
+kernel pairs strips locally as the single-chip pair-x kernel does):
+D drops from 6 to 4 planes — implemented in round 4 as the roadmap's next
+comm lever (see RESULTS.md).
+
+Usage: python scripts/weak_scaling_projection.py [--emit-md]
+"""
+
+import argparse
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+W_LINK = 4.5e10          # v5e one-way ICI bandwidth per link, B/s
+SUSTAIN = 0.8            # sustained fraction of peak link bandwidth
+HALO_BYTES = 4 * 2 * 8 * 8192 * 4   # 4 ppermute slabs (L=2, H=8, P) f32
+
+
+def a2a_time(d_bytes: float, nx: int) -> float:
+    """Ring all_to_all of d_bytes per chip over nx chips (bidirectional
+    links): per-directed-link load = D * nx / 8 (exact for nx >= 4;
+    nx = 2 degenerates to D / 2). PESSIMISTIC bound: assumes the logical
+    x-ring maps to a physical 1-D path."""
+    per_link = d_bytes / 2 if nx == 2 else d_bytes * nx / 8
+    return per_link / (W_LINK * SUSTAIN)
+
+
+def a2a_time_torus(d_bytes: float, nx: int) -> float:
+    """OPTIMISTIC bound: XLA routes the all_to_all over the physical 2-D
+    sub-torus (near-square a x b = nx, no wraparound on sub-slices).
+    T = max(injection through the chip's 4 ICI ports, bisection: half the
+    total data crosses min(a, b) links per direction)."""
+    import math
+    a = int(math.floor(math.sqrt(nx)))
+    while nx % a:
+        a -= 1
+    b = nx // a
+    inject = d_bytes * (nx - 1) / nx / (4 * W_LINK * SUSTAIN)
+    cross = (nx * d_bytes / 4) / (min(a, b) * W_LINK * SUSTAIN)
+    return max(inject, cross)
+
+
+def halo_time(P: int) -> float:
+    return (4 * 2 * 8 * P * 4) / (W_LINK * SUSTAIN)
+
+
+def project(step_1chip_ms: float, M: int, P: int, mode: str, planes: int):
+    rows = []
+    for nx in (2, 4, 8, 16):
+        if mode == "strong":
+            comp = step_1chip_ms / nx
+            mg = M
+        else:                       # weak: per-chip tile (M, P) constant
+            comp = step_1chip_ms
+            mg = M * nx
+        d = planes * (mg * P / nx) * 4
+        ring = (a2a_time(d, nx) + halo_time(P)) * 1e3
+        torus = (a2a_time_torus(d, nx) + halo_time(P)) * 1e3
+        rows.append((nx, comp, ring, comp / (comp + ring),
+                     torus, comp / (comp + torus),
+                     comp / max(comp, torus)))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--emit-md", action="store_true")
+    args = ap.parse_args()
+
+    # Measured single-chip inputs (amortized-protocol, round 4):
+    #   2048^2 fused step ~0.99 ms (decomp_r4_2048_c500.json full-pairx);
+    #   8192^2 fused (1,1)-mesh step 25.97 ms raw at 20-step chunks ->
+    #   ~24.7 ms after removing the measured ~25 ms fixed per-chunk
+    #   overhead (results/scaling_1chip_fused_8192.csv + the addone floor
+    #   probe).
+    meas = {"t2048": 0.99, "t8192": 24.7}
+    p = os.path.join(REPO, "results", "decomp_r4_2048_c500.json")
+    if os.path.exists(p):
+        jobs = json.load(open(p))["jobs"]
+        if "full-pairx" in jobs and "ms_per_iter" in jobs["full-pairx"]:
+            meas["t2048"] = jobs["full-pairx"]["ms_per_iter"]
+
+    out = []
+
+    def emit(line=""):
+        out.append(line)
+        print(line)
+
+    emit("### Multi-chip scaling projection (analytic; v5e ICI model)")
+    emit()
+    emit(f"Assumptions: ring all_to_all over (nx, 1) mesh; v5e ICI "
+         f"{W_LINK/1e9:.0f} GB/s per link one-way x {SUSTAIN:.0%} "
+         "sustained; per-directed-link load D*nx/8; measured single-chip "
+         f"step times {meas['t2048']:.2f} ms (2048^2), "
+         f"{meas['t8192']:.1f} ms (8192^2, fused (1,1) mesh, fixed "
+         "per-chunk overhead removed). 'no-ov' = communication on the "
+         "critical path (current implementation); 'full-ov' = perfect "
+         "comm/compute overlap (upper bound, needs strip-pipelined "
+         "transposes). 6 planes = current merged-companion scheme; 4 "
+         "planes = paired-strip scheme (no companion shipped; "
+         "parallel/paired.py, auto-preferred where supported).")
+    emit()
+    for title, t1, M, P, mode in (
+        ("Strong scaling, global 8192^2 (BASELINE config 5)",
+         meas["t8192"], 8192, 8192, "strong"),
+        ("Weak scaling, 2048^2 per chip (headline tile)",
+         meas["t2048"], 2048, 2048, "weak"),
+        ("Weak scaling, 8192^2 per chip",
+         meas["t8192"], 8192, 8192, "weak"),
+    ):
+        emit(f"**{title}**")
+        emit()
+        emit("| chips | compute ms | ring comm ms | eff (ring) | torus "
+             "comm ms | eff (torus) | eff (torus, overlap) | eff (torus, "
+             "4pl) |")
+        emit("|---|---|---|---|---|---|---|---|")
+        r6 = project(t1, M, P, mode, 6)
+        r4 = project(t1, M, P, mode, 4)
+        for (nx, comp, ring6, er6, tor6, et6, eo6), \
+                (_, _, _, _, tor4, et4, _) in zip(r6, r4):
+            emit(f"| {nx} | {comp:.2f} | {ring6:.2f} | {er6:.0%} | "
+                 f"{tor6:.2f} | {et6:.0%} | {eo6:.0%} | {et4:.0%} |")
+        emit()
+
+    emit("Reading: the transposed-FFT inversion must move the whole field "
+         "across the mesh twice per step (plus the mirror companion), so "
+         "per-chip all_to_all volume is CONSTANT under weak scaling while "
+         "link capacity per chip is fixed — the global elliptic solve, "
+         "not the stencils (halo cost < 0.1 ms), owns the scaling "
+         "budget. Projected efficiency at 8 chips: 26-36% as implemented, "
+         "45% with the paired-strip scheme (4 planes instead of 6: a "
+         "local strip pre-permutation lets each chip receive mirror "
+         "PAIRS, so no companion ships — IMPLEMENTED this round, "
+         "parallel/paired.py, preferred automatically where each chip "
+         "gets whole pairs), 55-62% adding full comm/compute "
+         "overlap (strip-pipelined transposes). The >= 80% north star "
+         "needs the remaining structural lever: replacing the transposed "
+         "FFT with a communication-avoiding elliptic solve (distributed "
+         "multigrid / DCT-blocked solves with O(halo) traffic per "
+         "V-cycle) — BASELINE.json names exactly this alternative. At "
+         "2-4 chips with 8192^2 tiles, overlap alone reaches ~100%/62%. "
+         "Caveats: rows-only (nx, 1) weak scaling also outgrows the "
+         "x-kernel's N2 <= 64 extent bound beyond M_global = 8192 — "
+         "larger slices require the 2-D-mesh fused form; all bandwidth "
+         "constants are public-figure estimates at 80% sustained, "
+         "unverifiable on this one-chip environment.")
+
+    if args.emit_md:
+        md = os.path.join(REPO, "results", "scaling_projection.md")
+        with open(md, "w") as f:
+            f.write("\n".join(out) + "\n")
+        print(f"\nwrote {md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -577,3 +577,71 @@ def test_generic_route_warns_on_tpu_shapes():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert _resolve_fused(cfg, mesh, "auto") is False  # no warning on CPU
+
+
+# ---------------------------------------------------------------------------
+# Paired-strip distributed inversion (round 4: 2 planes out + 2 back, no
+# mirror companion — parallel/paired.py).
+
+
+@pytest.mark.parametrize("nx,M,P,stream", [(2, 256, 512, None),
+                                           (4, 256, 1024, None),
+                                           (4, 256, 1024, True)])
+def test_paired_inverter_matches_single(nx, M, P, stream):
+    from jax.sharding import PartitionSpec as Pspec
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+    from tpu_qg.parallel.paired import (PairedDistributedInverter,
+                                        paired_supported)
+
+    cfg = fused_cfg(M=M, P=P)
+    assert paired_supported(M, P, nx)
+    rng = np.random.default_rng(11)
+    zeta = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+    single = PackedModalInverterPallasFFT(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), interpret=True)
+    ref = np.asarray(single(zeta))
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+    dist = PairedDistributedInverter(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), axis_x="x", interpret=True,
+        stream_x=stream)
+    f = jax.jit(jax.shard_map(
+        dist, mesh=mesh, in_specs=(Pspec(None, "x", None),),
+        out_specs=Pspec(None, "x", None), check_vma=False))
+    got = np.asarray(f(zeta))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6 * scale)
+
+
+def test_fused_halo_step_routes_paired():
+    """A paired-eligible shape must route the fused sharded step through
+    the paired inverter and still match the single-chip fused step."""
+    from tpu_qg.parallel.paired import paired_supported
+    from tpu_qg.parallel.stepper import make_halo_step_fn
+
+    nx = 2
+    cfg = fused_cfg(M=256, P=512)
+    assert paired_supported(cfg.M, cfg.P, nx)
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ref = init_state(cfg, psi_init=psi0)
+    oracle = _unsharded_fused_step(cfg)
+    for _ in range(3):
+        ref = oracle(ref)
+    step = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    for name in ("zeta", "psi", "f1"):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5 * scale,
+                                   err_msg=name)
+
+
+def test_paired_supported_pod():
+    from tpu_qg.parallel.paired import paired_supported
+    for nx in (2, 4, 8, 16):
+        assert paired_supported(8192, 8192, nx), nx
+    assert not paired_supported(2048, 2048, 16)   # 16*256 does not divide

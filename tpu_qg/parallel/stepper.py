@@ -188,9 +188,15 @@ def _make_fused_local_step(cfg: ModelConfig, ax: str, nx: int):
     from ..models.core import _resolve_fft_mxu
     from ..ops.pallas_tendency import _H, fused_step_streamed_sharded
     from .packed import DistributedPackedInverter
+    from .paired import PairedDistributedInverter, paired_supported
 
     interp = jax.default_backend() != "tpu"
-    inverter = DistributedPackedInverter(
+    # Paired-strip transposes (2 planes out + 2 back, no mirror companion —
+    # see parallel/paired.py) whenever each chip receives whole mirror
+    # pairs; the companion scheme remains the fallback.
+    cls = (PairedDistributedInverter if paired_supported(cfg.M, cfg.P, nx)
+           else DistributedPackedInverter)
+    inverter = cls(
         cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
         cfg.back_projection_matrix(), axis_x=ax, interpret=interp,
         mxu=_resolve_fft_mxu(cfg))
@@ -327,7 +333,10 @@ def make_halo_chain_fns(cfg: ModelConfig, mesh: Mesh):
         return None
     interp = jax.default_backend() != "tpu"
     mxu = _resolve_fft_mxu(cfg)
-    inverter = DistributedPackedInverter(
+    from .paired import PairedDistributedInverter, paired_supported
+    cls = (PairedDistributedInverter if paired_supported(cfg.M, cfg.P, nx)
+           else DistributedPackedInverter)
+    inverter = cls(
         cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
         cfg.back_projection_matrix(), axis_x=ax, interpret=interp, mxu=mxu)
     pfft = inverter._pfft
