@@ -1,8 +1,7 @@
-"""The stencil-ablation lab's `aligned` body (every slice 8-aligned, row
-neighbors via sublane rolls) must reproduce the production body — it is the
-candidate replacement if the hardware ablation shows the misaligned-slice
-relayouts are the v4 kernel's missing 0.7 ms (see
-tpu_qg/ops/_stencil_lab.py)."""
+"""The round-3 slice-based stencil body (kept as the lab's `legacy`
+variant) must match the round-4 production body (aligned rolls, adopted
+after winning the on-chip ablation 0.4605 vs 0.4884 ms/step kernel-only,
+c500 protocol — see tpu_qg/ops/_stencil_lab.py)."""
 
 import jax
 import numpy as np
@@ -16,7 +15,7 @@ from tpu_qg.ops._stencil_lab import lab_step
 
 @pytest.mark.parametrize("kw", [dict(), dict(time_scheme="leapfrog_ra"),
                                 dict(wind_tau0=0.05)])
-def test_aligned_body_matches_base(kw):
+def test_legacy_body_matches_production(kw):
     cfg = ModelConfig(
         H_1=1.0 * KM, H_2=2.0 * KM, beta=2e-11, Lx=4000.0 * KM,
         Ly=4000.0 * KM, dt=60.0 * MINUTES, T=1.0 * YEAR, U=0.1,
@@ -28,7 +27,7 @@ def test_aligned_body_matches_base(kw):
     zb, cb = lab_step(cfg, st.zeta, st.psi, st.f1, st.f2, st.step,
                       "base", True, 64)
     za, ca = lab_step(cfg, st.zeta, st.psi, st.f1, st.f2, st.step,
-                      "aligned", True, 64)
+                      "legacy", True, 64)
     for got, ref in ((za, zb), (ca, cb)):
         ref = np.asarray(ref)
         scale = np.abs(ref).max()

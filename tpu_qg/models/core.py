@@ -224,9 +224,15 @@ _MONO_IN_AUTO = False
 # in one session at a small chunk size (round 3's 5.5-vs-53 ms claim
 # compared two runs under a 6x host-load difference AND mono never actually
 # engaged — ADVICE.md round 3).
-# Gate evidence: none yet — stays False until a back-to-back
-# results/dispatch_regime_*.json lands from the real chip.
-_MONO_SMALL_CHUNK_IN_AUTO = False
+# Gate evidence: results/decomp_r4_2048_c10.json — 10-step chunks at
+# 2048^2 measured back-to-back in ONE session: full-mono 3.7235 ms/step vs
+# full-pairx 3.9927 (7%; the win is the two saved kernel launches per
+# step — the round-3 "10x" figure was a cross-session comparison under 6x
+# host-load difference with mono silently disengaged, and does not stand).
+# At the 50-step protocol pairx wins (decomp_r4_2048_c50.json), so the
+# crossover sits between; mono also passes the same-rev oracle smoke
+# (results/tpu_smoke_90aadbf.json, engaged.mono=true, 1.8e-6).
+_MONO_SMALL_CHUNK_IN_AUTO = True
 _MONO_CHUNK_CROSSOVER = 25   # scan-chunk steps below which mono wins
 
 

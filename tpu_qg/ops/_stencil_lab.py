@@ -60,6 +60,62 @@ def _make_body_shared_hacked(col_shift):
     return body
 
 
+
+def _body_legacy(cfg, T, layer, z_w, psi_w):
+    """The round-3 production body (verbatim): stencil neighbours as
+    sublane-misaligned row slices of six column-rotated slabs. Kept for
+    on-chip comparison after the aligned body became production
+    (_layer_tendency_shared) — measured 0.4884 vs 0.4605 ms/step
+    kernel-only at 2048^2, c500 protocol."""
+    from .pallas_tendency import _col_shift, _wind_layer, _wind_rows
+    dx = cfg.dx
+    inv_dx2 = 1.0 / (dx * dx)
+
+    zc = z_w[_H - 1:_H + T + 1, :]          # (T+2, P) 1-row-halo slabs
+    pc = psi_w[_H - 1:_H + T + 1, :]
+    zp, zm = _col_shift(zc, 1), _col_shift(zc, -1)
+    pp, pm = _col_shift(pc, 1), _col_shift(pc, -1)
+
+    lap1 = (psi_w[_H:_H + T + 2, :] + psi_w[_H - 2:_H + T, :] - 4.0 * pc
+            + pp + pm) * inv_dx2            # (T+2, P)
+    lp, lm = _col_shift(lap1, 1), _col_shift(lap1, -1)
+    visc_term = cfg.visc * ((lap1[2:T + 2, :] + lap1[0:T, :]
+                             - 4.0 * lap1[1:T + 1, :]
+                             + lp[1:T + 1, :] + lm[1:T + 1, :]) * inv_dx2)
+    lap_psi = lap1[1:T + 1, :]
+
+    def S(a, di):
+        return a[1 + di:1 + di + T, :]
+
+    z_xp, z_xm, z_yp, z_ym = S(zc, 1), S(zc, -1), S(zp, 0), S(zm, 0)
+    p_xp, p_xm, p_yp, p_ym = S(pc, 1), S(pc, -1), S(pp, 0), S(pm, 0)
+    z_xpyp, z_xpym, z_xmyp, z_xmym = S(zp, 1), S(zm, 1), S(zp, -1), S(zm, -1)
+    p_xpyp, p_xpym, p_xmyp, p_xmym = S(pp, 1), S(pm, 1), S(pp, -1), S(pm, -1)
+
+    j_pp = (z_xp - z_xm) * (p_yp - p_ym) - (z_yp - z_ym) * (p_xp - p_xm)
+    j_pt = (z_xp * (p_xpyp - p_xpym) - z_xm * (p_xmyp - p_xmym)
+            - z_yp * (p_xpyp - p_xmyp) + z_ym * (p_xpym - p_xmym))
+    j_tp = (z_xpyp * (p_yp - p_xp) - z_xmym * (p_xm - p_ym)
+            - z_xmyp * (p_yp - p_xm) + z_xpym * (p_xp - p_ym))
+    jac = (j_pp + j_pt + j_tp) / (12.0 * dx * dx)
+
+    dpsi_dx = (0.5 / dx) * (S(pc, 1) - S(pc, -1))
+    betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
+    tend = visc_term - jac - betas[layer] * dpsi_dx
+
+    if cfg.n_layers == 1:
+        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
+        tend = tend - cfg.U * dzeta_dx - cfg.r * lap_psi
+    elif layer == 0:
+        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
+        tend = tend - cfg.U * dzeta_dx
+    else:
+        tend = tend - cfg.r * lap_psi
+    if _wind_layer(cfg, layer):
+        tend = tend + _wind_rows(cfg, T, tend.shape[-1])
+    return tend
+
+
 def _body_noslice(cfg, T, layer, z_w, psi_w):
     """Row-neighbor slices -> center slice (ablates the misaligned-slice
     relayouts; arithmetic count unchanged, results WRONG)."""
@@ -189,7 +245,8 @@ def _body_aligned(cfg, T, layer, z_w, psi_w):
 
 
 BODIES = {
-    "base": _body_base,
+    "base": _body_base,        # the production body (aligned since round 4)
+    "legacy": _body_legacy,    # the round-3 slice-based body
     "norot": _make_body_shared_hacked(lambda u, dj: u),
     "noslice": _body_noslice,
     "nojac": _body_nojac,

@@ -265,63 +265,75 @@ def _layer_tendency_shared(cfg: ModelConfig, T: int, layer: int,
                            z_w: Array, psi_w: Array) -> Array:
     """One layer's RHS over the body rows of (T+2H, P) VMEM tile values.
 
-    Same arithmetic as stencils.arakawa_J / laplace chains, but every stencil
-    neighbour is a row slice of one of six column-rotated slabs (zeta +-1,
-    psi +-1, lap(psi) +-1) instead of a per-term rotation: 6 lane relayouts
-    per layer instead of ~16. Mosaic lane rotations are the dominant cost of
-    the fused kernel (it is VPU/relayout-bound, not HBM-bound), so sharing
-    them is the main single-chip lever.
+    ALIGNED formulation (round 4): every stencil neighbour is an explicit
+    pltpu.roll of the FULL 8-aligned (T+2H, P) slab — sublane rolls for row
+    (x) neighbours, lane rolls for column (y) neighbours, rolls of rolled
+    slabs for corners — and the only slice is the final 8-aligned body
+    window. The >= 8-row halo absorbs the rolls' circular wrap. Replaces
+    the round-3 body built from sublane-MISALIGNED row slices (offset
+    _H-1 = 7 and 0/1/2 within), each of which Mosaic lowered to a vector
+    relayout per use: the ablation lab measured 0.4605 vs 0.4884 ms/step
+    kernel-only at 2048^2 under the amortized 500-step protocol
+    (results/stencil_lab_2048.json; the old body is kept as the lab's
+    "legacy" variant). Values match the old body to ~5e-8 relative (pure
+    roundoff reassociation, tests/test_stencil_lab.py).
+
+    Arakawa three-term average (reference: src/schemes/arakawa.jl:7-62);
+    layer terms reference: src/model.jl:139-153.
     """
     dx = cfg.dx
     inv_dx2 = 1.0 / (dx * dx)
 
-    zc = z_w[_H - 1:_H + T + 1, :]          # (T+2, P) 1-row-halo slabs
-    pc = psi_w[_H - 1:_H + T + 1, :]
-    zp, zm = _col_shift(zc, 1), _col_shift(zc, -1)
-    pp, pm = _col_shift(pc, 1), _col_shift(pc, -1)
+    def rup(u):   # value at row r+1 (pltpu.roll shift must be >= 0)
+        return pltpu.roll(u, u.shape[0] - 1, axis=0)
 
-    # lap(psi) on the 1-halo slab, then lap of that on the body rows.
-    lap1 = (psi_w[_H:_H + T + 2, :] + psi_w[_H - 2:_H + T, :] - 4.0 * pc
-            + pp + pm) * inv_dx2            # (T+2, P)
-    lp, lm = _col_shift(lap1, 1), _col_shift(lap1, -1)
-    visc_term = cfg.visc * ((lap1[2:T + 2, :] + lap1[0:T, :]
-                             - 4.0 * lap1[1:T + 1, :]
-                             + lp[1:T + 1, :] + lm[1:T + 1, :]) * inv_dx2)
-    lap_psi = lap1[1:T + 1, :]
+    def rdn(u):   # value at row r-1
+        return pltpu.roll(u, 1, axis=0)
 
-    def S(a: Array, di: int) -> Array:      # body-row slice at row offset di
-        return a[1 + di:1 + di + T, :]
+    def cup(u):   # value at column j+1
+        return pltpu.roll(u, u.shape[1] - 1, axis=1)
 
-    z_xp, z_xm, z_yp, z_ym = S(zc, 1), S(zc, -1), S(zp, 0), S(zm, 0)
-    p_xp, p_xm, p_yp, p_ym = S(pc, 1), S(pc, -1), S(pp, 0), S(pm, 0)
-    z_xpyp, z_xpym, z_xmyp, z_xmym = S(zp, 1), S(zm, 1), S(zp, -1), S(zm, -1)
-    p_xpyp, p_xpym, p_xmyp, p_xmym = S(pp, 1), S(pm, 1), S(pp, -1), S(pm, -1)
+    def cdn(u):   # value at column j-1
+        return pltpu.roll(u, 1, axis=1)
 
-    # Arakawa three-term average (reference: src/schemes/arakawa.jl:7-62).
-    j_pp = (z_xp - z_xm) * (p_yp - p_ym) - (z_yp - z_ym) * (p_xp - p_xm)
-    j_pt = (z_xp * (p_xpyp - p_xpym) - z_xm * (p_xmyp - p_xmym)
-            - z_yp * (p_xpyp - p_xmyp) + z_ym * (p_xpym - p_xmym))
-    j_tp = (z_xpyp * (p_yp - p_xp) - z_xmym * (p_xm - p_ym)
-            - z_xmyp * (p_yp - p_xm) + z_xpym * (p_xp - p_ym))
-    jac = (j_pp + j_pt + j_tp) / (12.0 * dx * dx)
+    p, z = psi_w, z_w                        # (T+2H, P) full slabs
+    p_up, p_dn = rup(p), rdn(p)
+    pp, pm = cup(p), cdn(p)
+    lap1 = (p_up + p_dn - 4.0 * p + pp + pm) * inv_dx2
+    l_up, l_dn = rup(lap1), rdn(lap1)
+    lp, lm = cup(lap1), cdn(lap1)
+    visc_full = cfg.visc * ((l_up + l_dn - 4.0 * lap1 + lp + lm) * inv_dx2)
 
-    dpsi_dx = (0.5 / dx) * (S(pc, 1) - S(pc, -1))
+    z_up, z_dn = rup(z), rdn(z)
+    zp, zm = cup(z), cdn(z)
+    zp_up, zp_dn = rup(zp), rdn(zp)
+    zm_up, zm_dn = rup(zm), rdn(zm)
+    pp_up, pp_dn = rup(pp), rdn(pp)
+    pm_up, pm_dn = rup(pm), rdn(pm)
+
+    j_pp = (z_up - z_dn) * (pp - pm) - (zp - zm) * (p_up - p_dn)
+    j_pt = (z_up * (pp_up - pm_up) - z_dn * (pp_dn - pm_dn)
+            - zp * (pp_up - pp_dn) + zm * (pm_up - pm_dn))
+    j_tp = (zp_up * (pp - p_up) - zm_dn * (p_dn - pm)
+            - zp_dn * (pp - p_dn) + zm_up * (p_up - pm))
+    jac_full = (j_pp + j_pt + j_tp) / (12.0 * dx * dx)
+
+    dpsi_dx_full = (0.5 / dx) * (p_up - p_dn)
     betas = (cfg.beta,) if cfg.n_layers == 1 else (cfg.beta_1, cfg.beta_2)
-    tend = visc_term - jac - betas[layer] * dpsi_dx
+    tend = visc_full - jac_full - betas[layer] * dpsi_dx_full
 
     if cfg.n_layers == 1:
-        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
-        tend = tend - cfg.U * dzeta_dx - cfg.r * lap_psi
+        tend = tend - cfg.U * ((0.5 / dx) * (z_up - z_dn)) - cfg.r * lap1
     elif layer == 0:
         # Layer 1: mean-flow advection (reference: src/model.jl:143).
-        dzeta_dx = (0.5 / dx) * (S(zc, 1) - S(zc, -1))
-        tend = tend - cfg.U * dzeta_dx
+        tend = tend - cfg.U * ((0.5 / dx) * (z_up - z_dn))
     else:
         # Layer 2: bottom drag (reference: src/model.jl:151).
-        tend = tend - cfg.r * lap_psi
+        tend = tend - cfg.r * lap1
+    out = tend[_H:_H + T, :]                 # single 8-aligned body slice
     if _wind_layer(cfg, layer):
-        tend = tend + _wind_rows(cfg, T, tend.shape[-1])
-    return tend
+        out = out + _wind_rows(cfg, T, out.shape[-1])
+    return out
 
 
 def _step_pre_fft_kernel(cfg: ModelConfig, T: int, M: int, step_ref,
