@@ -136,7 +136,7 @@ def main():
             ax.legend(), ax.grid(alpha=0.3)
         fig.suptitle(f"{args.M}^2 f32, {args.steps} steps: transform-backend "
                      "drift (same seed)")
-        out_png = os.path.join(REPO, "plots", "accuracy_drift_2048.png")
+        out_png = os.path.join(REPO, "plots", f"accuracy_drift_{args.M}.png")
         fig.savefig(out_png, dpi=120, bbox_inches="tight")
         print(f"[accuracy] wrote {out_json} and {out_png}")
 

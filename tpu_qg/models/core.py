@@ -164,15 +164,42 @@ _PALLAS_FFT_IN_AUTO = True
 _BF16X3_IN_AUTO = True
 
 
+# Size class above which fft_mxu="auto" resolves to HIGHEST instead of
+# bf16x3. Round-4 float64 adjudication (ADVICE round-3 isolation;
+# results/step_f64_check_{2048,4096,8192}.json — 10-step max rel zeta
+# error vs the CPU float64 oracle, same IC):
+#
+#   grid    plain-f32   pallas-HIGHEST  pallas-bf16x3
+#   2048^2  2.51e-7     2.54e-7         1.80e-6   (7x plain)
+#   4096^2  4.07e-7     3.45e-7         6.20e-6   (15x)
+#   8192^2  1.35e-6     9.53e-7         1.78e-5   (13x)
+#
+# The kernel ALGORITHM at highest precision beats or equals the f32 FFT
+# oracle at every size; the bf16x3 MXU stage alone is the degradation,
+# amplified through the low-k 1/lambda symbol as the grid grows. bf16x3
+# stays the auto default only where 10k-step conserved-quantity drift
+# evidence shows the 10-step error to be dynamically inert:
+#   2048^2: energy 2.6e-7 / enstrophy 1.9e-6 vs the XLA backend — inside
+#           the f32 noise band (results/accuracy_2048_10000_r4.json).
+#   4096^2: energy 4.5e-7 / enstrophy 2.8e-6 — same band
+#           (results/accuracy_4096_10000_r4.json).
+# Above 4096^2 the auto route runs HIGHEST (which still BEATS the plain
+# f32 oracle vs f64); fft_mxu="bf16x3" stays an explicit opt-in anywhere.
+_BF16X3_MAX_POINTS = 4096 * 4096
+
+
 def _resolve_fft_mxu(cfg: ModelConfig) -> str:
     """Resolve fft_mxu="auto" for the Pallas DFT kernels (see
-    config.ModelConfig.fft_mxu and _BF16X3_IN_AUTO). The bf16x3 default
-    applies only on the TPU backend it was hardware-gated on; CPU interpret
-    runs (tests, oracles) stay at full f32 emulation so they remain
-    high-precision references."""
+    config.ModelConfig.fft_mxu, _BF16X3_IN_AUTO, and _BF16X3_MAX_POINTS).
+    The bf16x3 default applies only on the TPU backend it was
+    hardware-gated on and only at size classes where the float64
+    adjudication admits it; CPU interpret runs (tests, oracles) stay at
+    full f32 emulation so they remain high-precision references."""
     if cfg.fft_mxu != "auto":
         return cfg.fft_mxu
     if jax.default_backend() != "tpu":
+        return "highest"
+    if cfg.M * cfg.P > _BF16X3_MAX_POINTS:
         return "highest"
     return "bf16x3" if _BF16X3_IN_AUTO else "highest"
 
