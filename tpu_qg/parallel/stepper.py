@@ -204,10 +204,17 @@ def _make_fused_local_step(cfg: ModelConfig, ax: str, nx: int):
     bwd = [(i, (i - 1) % nx) for i in range(nx)]
 
     def local_step(state: State) -> State:
+        # nx == 1: both halos are the block's own wrap rows — slice them
+        # directly instead of issuing self-ppermutes (the collectives cost
+        # ~7% of the 1x1-mesh step; VERDICT round-3 item 4).
         def top(a):   # rows just above the block: x-neighbor's last H rows
+            if nx == 1:
+                return a[:, -_H:, :]
             return jax.lax.ppermute(a[:, -_H:, :], ax, fwd)
 
         def bot(a):   # rows just below: next neighbor's first H rows
+            if nx == 1:
+                return a[:, :_H, :]
             return jax.lax.ppermute(a[:, :_H, :], ax, bwd)
 
         zeta_new, carry = fused_step_streamed_sharded(
@@ -350,10 +357,14 @@ def make_halo_chain_fns(cfg: ModelConfig, mesh: Mesh):
         return state._replace(psi=pfft._call_y(state.psi, True))
 
     def step(state: State) -> State:
-        def top(a):
+        def top(a):   # nx == 1: the halo is the block's own wrap rows
+            if nx == 1:
+                return a[:, -_H:, :]
             return jax.lax.ppermute(a[:, -_H:, :], ax, fwd)
 
         def bot(a):
+            if nx == 1:
+                return a[:, :_H, :]
             return jax.lax.ppermute(a[:, :_H, :], ax, bwd)
 
         zeta_new, carry, zeta_ys = fused_step_streamed_yspec_sharded(
