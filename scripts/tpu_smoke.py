@@ -123,6 +123,7 @@ def run_inner(variant: str, M: int, P: int, steps: int,
             "inverter": type(_s).__name__,
             "fuse": getattr(_s, "_fuse", None),
             "pair": getattr(_s, "_pair", None),
+            "pair_stream": getattr(_s, "_pair_stream", None),
             "mono": getattr(_s, "_mono", None),
             "stream_x": getattr(getattr(_s, "_pfft", None), "_stream_x",
                                 None),

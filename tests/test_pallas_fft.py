@@ -255,3 +255,35 @@ def test_model_step_with_bf16x3_matches_xla_fft():
     ref = run(fft_impl="xla")
     got = run(fft_impl="pallas", fft_mxu="bf16x3")
     np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * np.abs(ref).max())
+
+
+def test_stream_pair_symbols_matches_four_pass():
+    """The single-chip streaming pair form (forward-x + symbols + inverse-x
+    in ONE manual-DMA pass, mirror from the same operand — the 4096^2/8192^2
+    route since round 4) must match the 4-pass fused-symbol path."""
+    import numpy as np
+
+    from tpu_qg.config import ModelConfig
+    from tpu_qg.constants import KM, MINUTES, YEAR
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+
+    for M, P in [(256, 512), (384, 256)]:
+        cfg = ModelConfig(
+            H_1=1.0 * KM, H_2=2.0 * KM, beta=2e-11, Lx=4000.0 * KM,
+            Ly=4000.0 * KM, dt=60.0 * MINUTES, T=1.0 * YEAR, U=0.1,
+            M=M, P=P, visc=100.0, r=1e-7, R_d=40.0 * KM,
+            initial_kick=1e-6, dtype="float32")
+        rng = np.random.default_rng(3)
+        zeta = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+        ref4 = PackedModalInverterPallasFFT(
+            M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix(), interpret=True)
+        a = np.asarray(ref4(zeta))
+        sp = PackedModalInverterPallasFFT(
+            M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix(), interpret=True, pair_x=True)
+        sp._pair = False          # force the streaming form at a small M
+        sp._pair_stream = True
+        b = np.asarray(sp(zeta))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-6 * scale)

@@ -354,7 +354,8 @@ def _build_packed_inverter(cfg: ModelConfig):
                 f"fft_mono='on' requested but the monolithic kernel cannot "
                 f"engage at ({cfg.M}, {cfg.P}) (mono_fits/fuse rejected); "
                 "use fft_mono='auto' to allow fallback")
-        if cfg.fft_pairx == "on" and not (inv._pair or inv._mono):
+        if cfg.fft_pairx == "on" and not (inv._pair or inv._pair_stream
+                                           or inv._mono):
             raise ValueError(
                 f"fft_pairx='on' requested but the mirror-pair kernel cannot "
                 f"engage at ({cfg.M}, {cfg.P}) (pair_x_fits/fuse rejected); "

@@ -812,7 +812,8 @@ _VMEM_TARGET_STREAM_PAIR = int(0.80 * _VMEM_LIMIT_STREAM_PAIR)
 
 
 def _build_streaming_fwd_sym_inv_x_pair(M: int, P: int, consts,
-                                        mxu: str = "highest"):
+                                        mxu: str = "highest",
+                                        mirror_from_self: bool = False):
     """Streaming form of ``_build_fwd_symbol_inv_x_kernel_offset`` (the
     distributed packed inversion's single-pass x-stage) for extents where
     the (2, M, 128) BlockSpec pipeline does not fit (M = 8192).
@@ -826,8 +827,17 @@ def _build_streaming_fwd_sym_inv_x_pair(M: int, P: int, consts,
     strip's compute. Single-buffered inputs: the kernel is MXU/VPU-bound
     (two forwards + one inverse per strip), so input-fetch overlap matters
     less than staying inside the explicit VMEM budget
-    (``stream_pair_x_footprint``)."""
+    (``stream_pair_x_footprint``).
+
+    ``mirror_from_self=True`` is the SINGLE-CHIP form: both operands are
+    the full y-spectral field and the companion DMA fetches the y-mirror
+    strip (n2y - j) % n2y of the SAME array — the whole inversion becomes
+    three kernel HBM passes (forward-y, this, inverse-y) at extents where
+    the BlockSpec mirror-pair kernel does not fit (4096^2, 8192^2; round
+    4 — previously those ran a 4-pass form, paying one extra full-field
+    HBM round trip for the spectrum)."""
     N2, _, _, _ = _plan(M, "x", False)
+    n2y_g = P // _N1
 
     def kernel(off_ref, gfr, gfi, gir, gii, za_hbm, zm_hbm, o_ref,
                za_buf, zm_buf, stage, sems):
@@ -836,10 +846,15 @@ def _build_streaming_fwd_sym_inv_x_pair(M: int, P: int, consts,
         j = off_ref[0] + i              # global strip index
         jflip, jroll = _perm_matrices()
 
+        if mirror_from_self:
+            m_idx = jax.lax.rem(jnp.asarray(n2y_g, j.dtype) - j,
+                                jnp.asarray(n2y_g, j.dtype))
+        else:
+            m_idx = i
         cp_a = pltpu.make_async_copy(
             za_hbm.at[:, :, pl.ds(i * _N1, _N1)], za_buf, sems.at[0])
         cp_m = pltpu.make_async_copy(
-            zm_hbm.at[:, :, pl.ds(i * _N1, _N1)], zm_buf, sems.at[1])
+            zm_hbm.at[:, :, pl.ds(m_idx * _N1, _N1)], zm_buf, sems.at[1])
         cp_a.start()
         cp_m.start()
         cp_a.wait()
@@ -1280,6 +1295,44 @@ class PlanarFFT2:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(gfr, gfi, gir, gii, Zy, Zy)
+
+    def stream_pair_symbols(self, Zy: Array, consts) -> Array:
+        """Single-chip streaming form of ``pair_x_symbols``: forward-x,
+        packed symbols, inverse-x in ONE manual-DMA streaming pass, the
+        mirror strip fetched from the SAME operand at (n2y - j) % n2y
+        (see _build_streaming_fwd_sym_inv_x_pair(mirror_from_self=True)).
+        For extents where the BlockSpec pair kernel does not fit; caller
+        must check ``stream_pair_x_footprint``."""
+        M, P = self.M, self.P
+        gfr, gfi = self._G[("x", False)]
+        gir, gii = self._G[("x", True)]
+        key = ("stream-pair-self", consts)
+        if key not in self._sym_kern_cache:
+            self._sym_kern_cache[key] = _build_streaming_fwd_sym_inv_x_pair(
+                M, P, consts, mxu=self._mxu, mirror_from_self=True)
+        n2x = gfr.shape[0]
+        gspec = pl.BlockSpec((n2x, _N1, _N1), lambda i, s: (0, 0, 0))
+        hspec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(P // _N1,),
+            in_specs=[gspec, gspec, gspec, gspec, hspec, hspec],
+            out_specs=hspec,
+            scratch_shapes=[
+                pltpu.VMEM((2, M, _N1), Zy.dtype),
+                pltpu.VMEM((2, M, _N1), Zy.dtype),
+                pltpu.VMEM((2, M, _N1), Zy.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        return pl.pallas_call(
+            self._sym_kern_cache[key],
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((2, M, P), Zy.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_STREAM_PAIR),
+        )(jnp.zeros((1,), jnp.int32), gfr, gfi, gir, gii, Zy, Zy)
 
     def mono_invert(self, z: Array, consts) -> Array:
         """Packed natural-order field -> psi in ONE kernel HBM pass: the

@@ -257,13 +257,21 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
                  fuse_symbols: bool = True, mxu: str = "highest",
                  pair_x: bool = False, mono: bool = False):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
-        from .pallas_fft import (PlanarFFT2, mono_fits, pair_x_fits,
+        from .pallas_fft import (_VMEM_TARGET_STREAM_PAIR, PlanarFFT2,
+                                 mono_fits, pair_x_fits,
+                                 stream_pair_x_footprint,
                                  symbol_inverse_fits)
         self._pfft = PlanarFFT2(M, P, interpret=interpret, mxu=mxu)
         self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
         # Mirror-pair fused x-kernel: the whole inversion in THREE kernel
         # passes (y-forward, pair-x, y-inverse) — W never touches HBM.
         self._pair = self._fuse and pair_x and pair_x_fits(M, P)
+        # Where the BlockSpec pair kernel does not fit (4096^2, 8192^2),
+        # the manual-DMA streaming pair form keeps the inversion at THREE
+        # passes (round 4; previously these extents ran a 4-pass form).
+        self._pair_stream = (self._fuse and pair_x and not self._pair
+                             and stream_pair_x_footprint(M)
+                             <= _VMEM_TARGET_STREAM_PAIR)
         # Monolithic kernel: the whole inversion in ONE kernel HBM pass
         # (field VMEM-resident across all three stages).
         self._mono = self._fuse and mono and mono_fits(M, P)
@@ -284,6 +292,11 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
             Zy = self._pfft._call_y(zeta, False)
             v = self._pfft._call_y(
                 self._pfft.pair_x_symbols(Zy, self._sym_consts), True)
+            return v.astype(zeta.dtype)
+        if self._pair_stream:
+            Zy = self._pfft._call_y(zeta, False)
+            v = self._pfft._call_y(
+                self._pfft.stream_pair_symbols(Zy, self._sym_consts), True)
             return v.astype(zeta.dtype)
         W = self._pfft.forward(zeta)                   # planar (2, M, P)
         if self._fuse:
