@@ -167,9 +167,11 @@ def main():
          "budget. Projected efficiency at 8 chips: 26-36% as implemented, "
          "45% with the paired-strip scheme (4 planes instead of 6: a "
          "local strip pre-permutation lets each chip receive mirror "
-         "PAIRS, so no companion ships — IMPLEMENTED this round, "
-         "parallel/paired.py, preferred automatically where each chip "
-         "gets whole pairs), 55-62% adding full comm/compute "
+         "PAIRS, so no companion ships — implemented, parallel/paired.py, "
+         "auto-preferred where its BlockSpec group kernel fits; at "
+         "8192^2 its streaming form exceeds VMEM at compile "
+         "(stream_probe_8192_nx8.json), so that row needs the group "
+         "kernel live-set halved first), 55-62% adding full comm/compute "
          "overlap (strip-pipelined transposes). The >= 80% north star "
          "needs the remaining structural lever: replacing the transposed "
          "FFT with a communication-avoiding elliptic solve (distributed "

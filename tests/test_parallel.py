@@ -640,8 +640,17 @@ def test_fused_halo_step_routes_paired():
                                    err_msg=name)
 
 
-def test_paired_supported_pod():
+def test_paired_supported_gate():
     from tpu_qg.parallel.paired import paired_supported
-    for nx in (2, 4, 8, 16):
-        assert paired_supported(8192, 8192, nx), nx
+    from tpu_qg.parallel.packed import distributed_packed_supported
+    # Pairs fit per chip at 2048^2 up to nx=8 (BlockSpec form).
+    for nx in (2, 4, 8):
+        assert paired_supported(2048, 2048, nx), nx
     assert not paired_supported(2048, 2048, 16)   # 16*256 does not divide
+    # 8192^2 needs the STREAMING form, which is gated OFF on hardware
+    # evidence (results/stream_probe_8192_nx8.json: the paired streaming
+    # kernel exceeds VMEM at compile) — pods there ride the companion
+    # scheme, whose streaming kernel DID compile on the chip.
+    for nx in (2, 4, 8):
+        assert not paired_supported(8192, 8192, nx)
+        assert distributed_packed_supported(8192, 8192, nx)

@@ -257,21 +257,23 @@ class PackedModalInverterPallasFFT(PackedModalInverterMXU):
                  fuse_symbols: bool = True, mxu: str = "highest",
                  pair_x: bool = False, mono: bool = False):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
-        from .pallas_fft import (_VMEM_TARGET_STREAM_PAIR, PlanarFFT2,
-                                 mono_fits, pair_x_fits,
-                                 stream_pair_x_footprint,
+        from .pallas_fft import (PlanarFFT2, mono_fits, pair_x_fits,
                                  symbol_inverse_fits)
         self._pfft = PlanarFFT2(M, P, interpret=interpret, mxu=mxu)
         self._fuse = fuse_symbols and symbol_inverse_fits(M, P)
         # Mirror-pair fused x-kernel: the whole inversion in THREE kernel
         # passes (y-forward, pair-x, y-inverse) — W never touches HBM.
         self._pair = self._fuse and pair_x and pair_x_fits(M, P)
-        # Where the BlockSpec pair kernel does not fit (4096^2, 8192^2),
-        # the manual-DMA streaming pair form keeps the inversion at THREE
-        # passes (round 4; previously these extents ran a 4-pass form).
-        self._pair_stream = (self._fuse and pair_x and not self._pair
-                             and stream_pair_x_footprint(M)
-                             <= _VMEM_TARGET_STREAM_PAIR)
+        # The manual-DMA streaming pair form could keep the inversion at
+        # THREE passes where the BlockSpec pair kernel does not fit, but it
+        # MEASURES SLOWER than the 4-pass BlockSpec route (r4 phase J:
+        # 2.765e9 vs 3.255e9 gps at 4096^2 — the two pipelined passes it
+        # replaces beat one single-buffered serialized pass; same lesson as
+        # mono/fullstep) and its Mosaic stack exceeds the 112 MB scoped
+        # limit at 8192^2 (114.97M measured at compile). Stays OFF; the
+        # kernel serves the distributed x-stage (its real user) and remains
+        # testable via the attribute (tests force it at small extents).
+        self._pair_stream = False
         # Monolithic kernel: the whole inversion in ONE kernel HBM pass
         # (field VMEM-resident across all three stages).
         self._mono = self._fuse and mono and mono_fits(M, P)

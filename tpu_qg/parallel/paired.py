@@ -60,21 +60,24 @@ def strip_pair_order(n2y: int) -> np.ndarray:
 
 def paired_supported(M: int, P: int, nx: int, itemsize: int = 4) -> bool:
     """Shape gate: the packed divisibility plus whole PAIRS per chip
-    (P % (nx * 256) == 0), and a fitting kernel form for the (2, M, 256)
-    group blocks."""
+    (P % (nx * 256) == 0), and the BlockSpec kernel form for the
+    (2, M, 256) group blocks. The STREAMING form (M = 8192) is gated OFF
+    on hardware evidence: its per-group live set (two strips' worth of
+    forward/mirror/combine values) exceeds v5e VMEM at compile
+    (results/stream_probe_8192_nx8.json — paired_stream fails while the
+    companion scheme's one-strip streaming kernel compiles fine, so 8192^2
+    pods ride tpu_qg.parallel.packed). The interpret-mode kernel and tests
+    remain; re-enable only with a passing on-chip probe."""
     if itemsize != 4 or M % nx != 0 or P % (nx * 2 * _N1) != 0:
         return False
     if (M // nx) % 8 != 0 or not planar_fft2_fits(M, P):
         return False
-    if _x_blockspec_fits(M, P):
-        # Same live-set class as pair_x_fits, on (2, M, 256) blocks.
-        strip = 2 * M * _N1 * 4
-        g_plane = (M // _N1) * _N1 * _N1 * 4
-        return 16 * strip + 8 * g_plane <= _VMEM_TARGET
-    # Streaming form: group block + stage + live values + both G stacks.
+    if not _x_blockspec_fits(M, P):
+        return False
+    # Same live-set class as pair_x_fits, on (2, M, 256) blocks.
     strip = 2 * M * _N1 * 4
-    g = 2 * 2 * (M // _N1) * _N1 * _N1 * 4
-    return 2 * strip + 2 * strip + 4 * strip + g <= _VMEM_TARGET_STREAM_PAIR
+    g_plane = (M // _N1) * _N1 * _N1 * 4
+    return 16 * strip + 8 * g_plane <= _VMEM_TARGET
 
 
 def _pair_group_body(M, P, N2, consts, mxu, gfr, gfi, gir, gii,
