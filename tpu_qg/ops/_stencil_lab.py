@@ -21,10 +21,6 @@ measured by ablation on the real chip (scripts/stencil_lab.py):
            (T+2H, P) slab (the >= 8-row halo makes the circular wrap
            harmless for body rows), corners from rolls of rolled slabs —
            20 explicit rolls per layer, zero misaligned slices.
-  dualroll fewer relayouts: one stacked (2(T+2H), P) lane-roll pair serves
-           both layers' z/psi shifts (roll cost scales with data, but
-           Mosaic per-op overheads halve), rows via aligned slices of
-           rolled slabs as in `aligned`.
 """
 
 from __future__ import annotations
