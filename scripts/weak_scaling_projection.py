@@ -28,10 +28,11 @@ Mesh (nx, 1), rows sharded. Per step, per chip:
            (the public per-link figure used by the scaling-book-style
            analyses for v5e). Sustained fraction 0.8 applied.
 
-Efficiency bounds: no-overlap (compute + comm serialized; the current
-implementation — the all_to_alls sit on the step's critical path) and
-full-overlap (max(compute, comm); achievable only with strip-pipelined
-transposes, a future-round lever).
+Efficiency bounds: no-overlap (compute + comm serialized) and full-overlap
+(max(compute, comm); the chunked-transpose pipeline enabling it exists as
+``DistributedPackedInverter(overlap_groups=G)`` — XLA's latency-hiding
+scheduler may run chunk g+1's collective behind chunk g's kernel — but the
+realized fraction cannot be measured on one chip).
 
 Also projected: the "paired-strip" variant that ships NO mirror companion
 (a local strip pre-permutation makes each chip receive mirror PAIRS, so the
@@ -131,9 +132,13 @@ def main():
          f"step times {meas['t2048']:.2f} ms (2048^2), "
          f"{meas['t8192']:.1f} ms (8192^2, fused (1,1) mesh, fixed "
          "per-chunk overhead removed). 'no-ov' = communication on the "
-         "critical path (current implementation); 'full-ov' = perfect "
-         "comm/compute overlap (upper bound, needs strip-pipelined "
-         "transposes). 6 planes = current merged-companion scheme; 4 "
+         "critical path); 'full-ov' = perfect comm/compute overlap (upper "
+         "bound; the chunked-transpose pipeline that enables it is "
+         "implemented — DistributedPackedInverter(overlap_groups=G), "
+         "pointwise-identical to the blocking form per the virtual-mesh "
+         "tests — but its REALIZED overlap fraction is unmeasurable "
+         "without multi-chip hardware). 6 planes = merged-companion "
+         "scheme; 4 "
          "planes = paired-strip scheme (no companion shipped; "
          "parallel/paired.py, auto-preferred where supported).")
     emit()

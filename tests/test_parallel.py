@@ -654,3 +654,30 @@ def test_paired_supported_gate():
     for nx in (2, 4, 8):
         assert not paired_supported(8192, 8192, nx)
         assert distributed_packed_supported(8192, 8192, nx)
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_overlapped_transposes_match_blocking(G):
+    """The chunked (comm/compute-overlap-ready) transpose pipeline must be
+    pointwise identical to the single-all_to_all form — same kernels, same
+    global strip indices, only the collective granularity changes."""
+    from jax.sharding import PartitionSpec as Pspec
+    from tpu_qg.parallel.packed import DistributedPackedInverter
+
+    nx, M, P = 2, 256, 1024
+    cfg = fused_cfg(M=M, P=P)
+    rng = np.random.default_rng(13)
+    zeta = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+    mesh = make_mesh((nx, 1), devices=jax.devices()[:nx])
+
+    def run(groups):
+        dist = DistributedPackedInverter(
+            M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+            cfg.back_projection_matrix(), axis_x="x", interpret=True,
+            overlap_groups=groups)
+        f = jax.jit(jax.shard_map(
+            dist, mesh=mesh, in_specs=(Pspec(None, "x", None),),
+            out_specs=Pspec(None, "x", None), check_vma=False))
+        return np.asarray(f(zeta))
+
+    np.testing.assert_array_equal(run(G), run(1))

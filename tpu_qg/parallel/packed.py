@@ -90,7 +90,7 @@ class DistributedPackedInverter(PackedModalInverter):
     def __init__(self, M: int, P: int, dx: float, alpha2: float,
                  P_inv, P_back, axis_x: str = "x",
                  interpret: bool = False, mxu: str = "highest",
-                 stream_x: bool = None):
+                 stream_x: bool = None, overlap_groups: int = 1):
         super().__init__(M, P, dx, alpha2, P_inv, P_back)
         from ..ops.matmul_fft import split_factor
         from ..ops.pallas_fft import PlanarFFT2
@@ -98,6 +98,11 @@ class DistributedPackedInverter(PackedModalInverter):
         # streaming at M = 8192); True forces streaming (tests).
         self._pfft = PlanarFFT2(M, P, interpret=interpret, mxu=mxu,
                                 stream_x=stream_x)
+        # overlap_groups > 1 splits the transposes into column-chunk
+        # pipelines (see x_stage) — the comm/compute-overlap structure the
+        # scaling projection calls for. Requires P % (G * nx * 128) == 0 at
+        # call time; results identical per point to G = 1.
+        self.overlap_groups = overlap_groups
         self._sym_consts = (
             split_factor(M)[1], split_factor(P)[1],
             1.0 / (dx * dx), float(alpha2),
@@ -135,18 +140,45 @@ class DistributedPackedInverter(PackedModalInverter):
         # Mirror companion at strip granularity (y complete locally).
         v = Zy.reshape(2, rows, len(self._mirror_perm), _N1)
         Zm = v[:, :, self._mirror_perm, :].reshape(Zy.shape)
-        both = lax.all_to_all(jnp.concatenate([Zy, Zm]), ax,
-                              split_axis=2, concat_axis=1,
-                              tiled=True)                       # (4, M, P/nx)
-        Zy, Zm = both[:2], both[2:]
-        strips = Zy.shape[2] // _N1
-        off = lax.axis_index(ax) * strips
-        # Single-pass x-stage: forward-x of BOTH blocks, symbols, inverse-x
-        # in one kernel — W/Wm never touch HBM.
-        V = self._pfft._call_x_fwd_symbols_offset(Zy, Zm, self._sym_consts,
-                                                  off)
-        return lax.all_to_all(V, ax, split_axis=1, concat_axis=2,
-                              tiled=True)                       # (2, m, P)
+        both = jnp.concatenate([Zy, Zm])                        # (4, m, P)
+
+        G = self.overlap_groups
+        if G <= 1:
+            both = lax.all_to_all(both, ax, split_axis=2, concat_axis=1,
+                                  tiled=True)                   # (4, M, P/nx)
+            Zy, Zm = both[:2], both[2:]
+            strips = Zy.shape[2] // _N1
+            off = lax.axis_index(ax) * strips
+            # Single-pass x-stage: forward-x of BOTH blocks, symbols,
+            # inverse-x in one kernel — W/Wm never touch HBM.
+            V = self._pfft._call_x_fwd_symbols_offset(
+                Zy, Zm, self._sym_consts, off)
+            return lax.all_to_all(V, ax, split_axis=1, concat_axis=2,
+                                  tiled=True)                   # (2, m, P)
+
+        # Overlapped form (the comm/compute pipeline the scaling projection
+        # identifies as the efficiency lever): the column extent splits into
+        # G independent chunks; chunk g+1's all_to_all has no data
+        # dependence on chunk g's kernel, so XLA's latency-hiding scheduler
+        # is free to run the collective behind the compute. Identical per
+        # point to G = 1 (same kernels, same global strip indices).
+        n2y = self.P // _N1
+        assert n2y % (G * nx) == 0, (
+            f"overlap_groups={G} needs P % (G * nx * 128) == 0")
+        S = n2y // G                   # global strips per chunk
+        w = S * _N1
+        k = lax.axis_index(ax)
+        outs = []
+        for g in range(G):
+            chunk = both[:, :, g * w:(g + 1) * w]
+            chunk = lax.all_to_all(chunk, ax, split_axis=2, concat_axis=1,
+                                   tiled=True)                 # (4, M, w/nx)
+            off = g * S + k * (S // nx)
+            Vg = self._pfft._call_x_fwd_symbols_offset(
+                chunk[:2], chunk[2:], self._sym_consts, off)
+            outs.append(lax.all_to_all(Vg, ax, split_axis=1, concat_axis=2,
+                                       tiled=True))            # (2, m, w)
+        return jnp.concatenate(outs, axis=2)
 
     def __call__(self, zeta: Array) -> Array:
         Zy = self._pfft._call_y(zeta, False)                    # (2, m, P)
