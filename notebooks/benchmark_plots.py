@@ -34,7 +34,12 @@ def load_csv(path):
             {k: [float(r[k]) for r in rows] for k in rows[0] if k != "M"})
 
 
-def main(full_csv="bench_full.csv"):
+def main(full_csv=None):
+    if full_csv is None:
+        # Default to the committed real-chip CSV; fall back to a local one.
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        cand = repo / "results" / "bench_full_tpu.csv"
+        full_csv = str(cand) if cand.exists() else "bench_full.csv"
     fig, ax = plt.subplots()
     ax.loglog(REF_M, REF_JULIA, "s--", label="reference (Julia FD, 1 CPU core)")
     ax.loglog(REF_M, REF_PYQG, "^--", label="pyqg (pseudospectral, 1 CPU core)")
@@ -63,7 +68,11 @@ def main(full_csv="bench_full.csv"):
 # whole step, and solver setup.
 
 # %%
-def parts(parts_csv="bench_parts.csv"):
+def parts(parts_csv=None):
+    if parts_csv is None:
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        cand = repo / "results" / "bench_parts_tpu.csv"
+        parts_csv = str(cand) if cand.exists() else "bench_parts.csv"
     import numpy as np
 
     if not pathlib.Path(parts_csv).exists():
