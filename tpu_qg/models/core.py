@@ -276,8 +276,10 @@ def resolve_mono_for_chunk(cfg: ModelConfig, chunk_steps: int) -> ModelConfig:
         return cfg
     if _resolve_fft_impl(cfg) != "pallas":
         return cfg
-    from ..ops.pallas_fft import mono_fits
-    if mono_fits(cfg.M, cfg.P):
+    from ..ops.pallas_fft import mono_fits, symbol_inverse_fits
+    # Both gates the inverter itself applies must pass, or the replaced
+    # "on" would raise the forced-form ValueError instead of routing.
+    if mono_fits(cfg.M, cfg.P) and symbol_inverse_fits(cfg.M, cfg.P):
         return cfg.replace(fft_mono="on")
     return cfg
 
