@@ -259,8 +259,12 @@ def test_model_step_with_bf16x3_matches_xla_fft():
 
 def test_stream_pair_symbols_matches_four_pass():
     """The single-chip streaming pair form (forward-x + symbols + inverse-x
-    in ONE manual-DMA pass, mirror from the same operand — the 4096^2/8192^2
-    route since round 4) must match the 4-pass fused-symbol path."""
+    in ONE manual-DMA pass, mirror from the same operand) must match the
+    4-pass fused-symbol path. NOT a production single-chip route: it
+    measured slower than the 4-pass path at 4096² (RESULTS.md) and
+    spectral.py gates it off (``_pair_stream = False``; this test forces
+    it via the attribute) — the kernel's production role is the
+    distributed streaming x-stage."""
     import numpy as np
 
     from tpu_qg.config import ModelConfig

@@ -9,11 +9,17 @@ which Mosaic lowers to vector relayouts. This module reimplements the
 streamed kernel with a pluggable tendency body so the relayout cost can be
 measured by ablation on the real chip (scripts/stencil_lab.py):
 
-  base     the production body (_layer_tendency_shared) — parity anchor
-  norot    lane rotations replaced by identity (WRONG results; times the
-           body minus all lane relayouts)
+  base     the production body (_layer_tendency_shared, the ALIGNED form
+           since round 4) — parity anchor
+  norot    the aligned body with every pltpu.roll replaced by identity
+           (WRONG results; times the body minus all sublane+lane
+           rotations). ADVICE r4: the previous norot monkey-patched
+           _col_shift around the production body, which no longer calls
+           it — it silently timed the full body. Rebuilt from the
+           aligned body's roll helpers.
   noslice  row-neighbor slices replaced by the center slice (WRONG
-           results; times the body minus the misaligned-slice relayouts)
+           results; times the legacy body minus the misaligned-slice
+           relayouts)
   nojac    Arakawa term dropped (removes 4 of 6 rotations + ~1/2 the VPU
            arithmetic; still uses misaligned slices for visc)
   aligned  CORRECT body restructured so every slice is 8-aligned: row
@@ -41,20 +47,6 @@ from .pallas_tendency import (_H, _apply_update, _layer_tendency_shared,
 
 def _body_base(cfg, T, layer, z_w, psi_w):
     return _layer_tendency_shared(cfg, T, layer, z_w, psi_w)
-
-
-def _make_body_shared_hacked(col_shift):
-    """The production body with _col_shift swapped (norot ablation)."""
-    def body(cfg, T, layer, z_w, psi_w):
-        import tpu_qg.ops.pallas_tendency as pt
-        orig = pt._col_shift
-        pt._col_shift = col_shift
-        try:
-            return pt._layer_tendency_shared(cfg, T, layer, z_w, psi_w)
-        finally:
-            pt._col_shift = orig
-    return body
-
 
 
 def _body_legacy(cfg, T, layer, z_w, psi_w):
@@ -181,26 +173,27 @@ def _body_nojac(cfg, T, layer, z_w, psi_w):
     return tend
 
 
-def _body_aligned(cfg, T, layer, z_w, psi_w):
+def _body_aligned(cfg, T, layer, z_w, psi_w, roll=pltpu.roll):
     """CORRECT restructured body: row neighbors via sublane rolls on the
     full 8-aligned slab, 8-aligned slices everywhere. Produces the same
     values as _layer_tendency_shared (the >= 8-row halo absorbs the
-    circular wrap)."""
+    circular wrap). ``roll`` is pluggable so the norot ablation can
+    replace every rotation with identity while keeping the arithmetic."""
     from .pallas_tendency import _wind_layer, _wind_rows
     dx = cfg.dx
     inv_dx2 = 1.0 / (dx * dx)
 
     def rup(u):   # value at row r+1 (shift must be non-negative)
-        return pltpu.roll(u, u.shape[0] - 1, axis=0)
+        return roll(u, u.shape[0] - 1, axis=0)
 
     def rdn(u):   # value at row r-1
-        return pltpu.roll(u, 1, axis=0)
+        return roll(u, 1, axis=0)
 
     def cup(u):   # value at column j+1
-        return pltpu.roll(u, u.shape[1] - 1, axis=1)
+        return roll(u, u.shape[1] - 1, axis=1)
 
     def cdn(u):
-        return pltpu.roll(u, 1, axis=1)
+        return roll(u, 1, axis=1)
 
     p, z = psi_w, z_w                    # (T+2H, P) full slabs
     p_up, p_dn = rup(p), rdn(p)
@@ -240,10 +233,17 @@ def _body_aligned(cfg, T, layer, z_w, psi_w):
     return out
 
 
+def _body_norot(cfg, T, layer, z_w, psi_w):
+    """Aligned body with every rotation ablated to identity (WRONG
+    results — times the body minus all sublane+lane rolls)."""
+    return _body_aligned(cfg, T, layer, z_w, psi_w,
+                         roll=lambda u, shift, axis: u)
+
+
 BODIES = {
     "base": _body_base,        # the production body (aligned since round 4)
     "legacy": _body_legacy,    # the round-3 slice-based body
-    "norot": _make_body_shared_hacked(lambda u, dj: u),
+    "norot": _body_norot,
     "noslice": _body_noslice,
     "nojac": _body_nojac,
     "aligned": _body_aligned,

@@ -26,19 +26,15 @@ def preferred_mesh_shape(cfg, n_devices: int) -> Tuple[int, int]:
 
     Round-3 VERDICT item 3: ``make_mesh`` defaulted to most-square (8
     devices -> 4x2), silently routing pod presets off the fused kernels
-    even where an (8, 1) mesh would have kept them on it.
+    even where an (8, 1) mesh would have kept them on it. The support
+    predicate is shared with the fused gate itself
+    (``stepper.fused_shape_supported`` — ADVICE r4) so the two cannot
+    diverge.
     """
-    import jax.numpy as jnp
+    from .stepper import fused_shape_supported
 
-    from ..ops.pallas_tendency import sharded_pallas_supported
-    from .packed import distributed_packed_supported
-
-    if (cfg is not None and cfg.n_layers == 2
-            and cfg.poisson_gauge == "zero_mean" and cfg.use_pallas
-            and jnp.dtype(cfg.dtype).itemsize == 4
-            and cfg.M % n_devices == 0
-            and sharded_pallas_supported(2, cfg.M // n_devices, cfg.P, 4)
-            and distributed_packed_supported(cfg.M, cfg.P, n_devices)):
+    if (cfg is not None and cfg.use_pallas
+            and fused_shape_supported(cfg, n_devices, 1)):
         return (n_devices, 1)
     return _factor2(n_devices)
 

@@ -130,14 +130,14 @@ def _local_wind_forcing(cfg: ModelConfig, dtype, ay: str):
     return lax.dynamic_slice(full, (j * p_local,), (p_local,))[None, :]
 
 
-def fused_halo_supported(cfg: ModelConfig, mesh: Mesh) -> bool:
-    """Shape/config gate for the Pallas-fused sharded step: (nx, 1) mesh
-    (rows sharded, y local — the layout the fused kernels need), two-layer
-    zero-mean-gauge f32, the sharded streamed step kernel's tile gate, and
-    the distributed packed inverter's transpose divisibility."""
-    import jax.numpy as jnp
-
-    nx, ny = mesh.devices.shape
+def fused_shape_supported(cfg: ModelConfig, nx: int, ny: int) -> bool:
+    """Shape/config predicate shared by ``fused_halo_supported`` and
+    ``mesh.preferred_mesh_shape`` (ADVICE r4: the two previously
+    re-implemented the same condition list and could diverge): (nx, 1)
+    arrangement (rows sharded, y local — the layout the fused kernels
+    need), two-layer zero-mean-gauge f32, the sharded streamed step
+    kernel's tile gate, and the distributed packed inverter's transpose
+    divisibility."""
     if ny != 1 or cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
         return False
     if jnp.dtype(cfg.dtype).itemsize != 4 or cfg.M % nx != 0:
@@ -146,6 +146,13 @@ def fused_halo_supported(cfg: ModelConfig, mesh: Mesh) -> bool:
     from .packed import distributed_packed_supported
     return (sharded_pallas_supported(cfg.n_layers, cfg.M // nx, cfg.P, 4)
             and distributed_packed_supported(cfg.M, cfg.P, nx))
+
+
+def fused_halo_supported(cfg: ModelConfig, mesh: Mesh) -> bool:
+    """Gate for the Pallas-fused sharded step on this mesh
+    (see ``fused_shape_supported``)."""
+    nx, ny = mesh.devices.shape
+    return fused_shape_supported(cfg, nx, ny)
 
 
 def _resolve_fused(cfg: ModelConfig, mesh: Mesh, fused) -> bool:

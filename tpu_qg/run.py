@@ -55,12 +55,20 @@ def run_model(
     state: Optional[State] = None,
     mesh=None,
     parallel_impl: str = "halo",
+    checkpoint_mode: str = "auto",
 ):
     """Run the simulation, optionally streaming snapshots/checkpoints.
 
     With ``mesh`` set, the grid is domain-decomposed over the device mesh
     (``parallel_impl``: "halo" = shard_map ppermute + distributed FFT,
     "gspmd" = XLA-partitioned global arrays).
+
+    ``checkpoint_mode``: "gathered" writes single-file snapshots and
+    checkpoints through process 0 (the reference's single-writer shape,
+    src/run_model.jl:86-91); "sharded" writes per-process shard files with
+    no full-grid gather (tpu_qg.io sharded scheme); "auto" goes sharded for
+    mesh runs at/above 2048² (round-4 VERDICT: the gathered path moves
+    256 MB/field through one host at 8192²).
 
     The reference's sampling cadence quirk — metadata says floor(day/dt) but the
     loop saves every 2*floor(day/dt) (reference: src/run_model.jl:59 vs :7-9) —
@@ -109,6 +117,12 @@ def run_model(
         else:
             run_fn = make_sharded_run_fn(cfg, mesh)
 
+    if checkpoint_mode not in ("auto", "gathered", "sharded"):
+        raise ValueError(f"unknown checkpoint_mode {checkpoint_mode!r}")
+    sharded_io = checkpoint_mode == "sharded" or (
+        checkpoint_mode == "auto" and mesh is not None
+        and cfg.M * cfg.P >= 2048 * 2048)
+
     save = save_results
     writer = None
     if save:
@@ -116,15 +130,42 @@ def run_model(
             raise ValueError("save_results=True requires run_dir")
         if resume:
             reader = RunReader(run_dir)
-            state = reader.load_checkpoint()
+            steps_avail = reader.checkpoint_steps()
+            if (mesh is not None and steps_avail
+                    and reader._shard_files("checkpoint", steps_avail[-1])):
+                # Sharded checkpoint + mesh resume: load each device's
+                # block straight onto the mesh, no global assembly.
+                from .parallel.gspmd import state_sharding
+                state = reader.load_checkpoint_sharded(state_sharding(mesh))
+            else:
+                state = reader.load_checkpoint()
             if verbose:
                 print(f"Resumed from step {int(state.step)}")
-        if primary:
-            writer = RunWriter(run_dir, cfg, sample_interval)
+        if primary or sharded_io:
+            writer = RunWriter(run_dir, cfg, sample_interval,
+                               write_metadata=primary)
+
+    def save_snapshot(step_no: int, s: State) -> None:
+        if sharded_io:
+            if writer is not None:
+                writer.write_snapshot_sharded(step_no, s.zeta, s.psi)
+        else:
+            zh, ph = to_host(s.zeta), to_host(s.psi)    # collective
+            if writer is not None:
+                writer.write_snapshot(step_no, zh, ph)
+
+    def save_checkpoint(s: State) -> None:
+        if sharded_io:
+            if writer is not None:
+                writer.write_checkpoint_sharded(s)
+        else:
+            hs = host_state(s)                          # collective
+            if writer is not None:
+                writer.write_checkpoint(hs)
 
     if state is None:
         state = model.init_state(key=jax.random.PRNGKey(cfg.seed))
-        if writer is not None:
+        if writer is not None and primary:
             writer.write_snapshot(0, np.asarray(state.zeta), np.asarray(state.psi))
 
     if mesh is not None:
@@ -141,13 +182,9 @@ def run_model(
         state = run_fn(state, chunk) if mesh is not None else model.run(state, chunk)
         done += chunk
         if save and done % sample_steps == 0:
-            zh, ph = to_host(state.zeta), to_host(state.psi)
-            if writer is not None:
-                writer.write_snapshot(done, zh, ph)
+            save_snapshot(done, state)
         if save and checkpoint_every and done % checkpoint_every == 0:
-            hs = host_state(state)
-            if writer is not None:
-                writer.write_checkpoint(hs)
+            save_checkpoint(state)
         d = diagnostics(cfg, state)
         import math
         if not math.isfinite(d["max_abs_zeta"]):
@@ -155,9 +192,7 @@ def run_model(
             # post-mortem + restart (the reference would silently write garbage
             # and keep going — SURVEY.md section 5, no failure detection).
             if save:
-                hs = host_state(state)
-                if writer is not None:
-                    writer.write_checkpoint(hs)
+                save_checkpoint(state)
             raise FloatingPointError(
                 f"non-finite state at step {done} (max|zeta|="
                 f"{d['max_abs_zeta']}); diagnostics: {d}"
@@ -170,9 +205,7 @@ def run_model(
                   f"[{rate:.3e} gridpoint-steps/s]")
     jax.block_until_ready(state.zeta)
     if save:
-        hs = host_state(state)
-        if writer is not None:
-            writer.write_checkpoint(hs)
+        save_checkpoint(state)
 
     return state
 
@@ -200,6 +233,11 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume from latest checkpoint in --run-dir")
     parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument("--checkpoint-mode", default="auto",
+                        choices=["auto", "gathered", "sharded"],
+                        help="sharded = per-process shard files, no "
+                             "full-grid gather (auto: sharded for mesh "
+                             "runs at/above 2048^2)")
     parser.add_argument("--no-save", action="store_true")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (traps the op that "
@@ -271,6 +309,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         mesh=mesh,
         parallel_impl=args.parallel,
+        checkpoint_mode=args.checkpoint_mode,
     )
     print(f"\n Total runtime: {time.perf_counter() - t0:.2f} s")
 
