@@ -170,6 +170,20 @@ def main():
                 pf = inv._pfft
                 _measure(job, lambda z: pf._call_y(z, False), state0.zeta,
                          args.chunk, args.reps, rec["jobs"])
+            elif job.startswith("mg"):
+                # mg@C: single-chip multigrid modal inversion (ops/
+                # multigrid.py), C V-cycles per call, warm-started from the
+                # previous call's psi (the production stepping pattern) —
+                # per-V-cycle cost = (mg@2C - mg@C) / C.
+                cycles = int(job.split("@")[1]) if "@" in job else 4
+                from tpu_qg.ops.multigrid import MultigridModalInverter
+                cfg = base
+                mginv = MultigridModalInverter(
+                    M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                    cfg.back_projection_matrix(), n_cycles=cycles)
+                zeta_c = state0.zeta
+                _measure(job, lambda psi: mginv(zeta_c, psi_prev=psi),
+                         state0.psi, args.chunk, args.reps, rec["jobs"])
             elif job == "addone":
                 # Scan-iteration floor probe: one elementwise full-field op
                 # per iteration (HBM floor ~0.082 ms at 2048^2). Anything

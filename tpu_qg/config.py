@@ -122,6 +122,19 @@ class ModelConfig:
     # precedence over step_chain/fft_pairx/fft_mono when active.
     step_full: str = "auto"
 
+    # Elliptic inversion algorithm for the SHARDED halo stepper
+    # (parallel/stepper.py): "spectral" = transposed distributed FFT
+    # (all_to_all transposes — O(grid) traffic per step); "multigrid" =
+    # distributed geometric V-cycles (parallel/multigrid.py — O(halo)
+    # traffic, the communication-avoiding pod-scale route; works on any
+    # (nx, ny) mesh). Identical linear system either way (same discrete
+    # 5-point eigenvalues); multigrid is iterative — mg_cycles warm-started
+    # V(2,2)-cycles per step (each ~0.15x residual contraction; the warm
+    # start seeds from the previous step's psi). Single-device steps always
+    # use the spectral/Pallas route (fastest on one chip).
+    elliptic_impl: str = "spectral"
+    mg_cycles: int = 4
+
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
@@ -139,6 +152,9 @@ class ModelConfig:
             raise ValueError(f"unsupported fft_mxu {self.fft_mxu!r}")
         if self.step_chain not in ("auto", "on", "off"):
             raise ValueError(f"unsupported step_chain {self.step_chain!r}")
+        if self.elliptic_impl not in ("spectral", "multigrid"):
+            raise ValueError(
+                f"unsupported elliptic_impl {self.elliptic_impl!r}")
         if self.fft_pairx not in ("auto", "on", "off"):
             raise ValueError(f"unsupported fft_pairx {self.fft_pairx!r}")
         if self.fft_mono not in ("auto", "on", "off"):

@@ -140,6 +140,8 @@ def fused_shape_supported(cfg: ModelConfig, nx: int, ny: int) -> bool:
     divisibility."""
     if ny != 1 or cfg.n_layers != 2 or cfg.poisson_gauge != "zero_mean":
         return False
+    if cfg.elliptic_impl != "spectral":
+        return False
     if jnp.dtype(cfg.dtype).itemsize != 4 or cfg.M % nx != 0:
         return False
     from ..ops.pallas_tendency import sharded_pallas_supported
@@ -264,11 +266,28 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
     tendencies = (_local_tendencies_overlapped if overlap
                   else _local_tendencies)
 
-    if cfg.n_layers == 1:
+    mg_solver = mg_inv = None
+    if cfg.elliptic_impl == "multigrid":
+        # Communication-avoiding inversion (parallel/multigrid.py): halo-only
+        # V-cycles warm-started from the previous step's psi; any (nx, ny)
+        # mesh. O(halo) traffic per step vs the transposed FFT's O(grid).
+        from .multigrid import (DistributedMultigridInverter,
+                                DistributedMultigridSolver)
+        if cfg.n_layers == 1:
+            mg_solver = DistributedMultigridSolver(
+                cfg.M, cfg.P, cfg.dx, (0.0,), nx, ny, ax, ay,
+                n_cycles=cfg.mg_cycles)
+        else:
+            mg_inv = DistributedMultigridInverter(
+                cfg.M, cfg.P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+                cfg.back_projection_matrix(), nx, ny, ax, ay,
+                n_cycles=cfg.mg_cycles)
+    elif cfg.n_layers == 1:
         solver = DistributedHelmholtzSolver(cfg.M, cfg.P, cfg.dx, (0.0,), ax, ay)
     else:
         solver = DistributedHelmholtzSolver(
             cfg.M, cfg.P, cfg.dx, (0.0, cfg.S_eig), ax, ay)
+    if cfg.n_layers == 2:
         (pi11, pi12), (pi21, pi22) = cfg.P_inv_matrix()
         (b11, b12), (b21, b22) = cfg.back_projection_matrix()
     dt = cfg.dt
@@ -294,7 +313,11 @@ def make_halo_step_fn(cfg: ModelConfig, mesh: Mesh, donate: bool = True,
             zeta_new = state.zeta + update
             f1_new, f2_new = tend, state.f1
 
-        if cfg.n_layers == 1:
+        if mg_inv is not None:
+            psi_new = mg_inv(zeta_new, psi_prev=state.psi)
+        elif mg_solver is not None:
+            psi_new = mg_solver(zeta_new, x0=state.psi)
+        elif cfg.n_layers == 1:
             psi_new = solver(zeta_new)
         else:
             modes = jnp.stack([pi11 * zeta_new[0] + pi12 * zeta_new[1],
