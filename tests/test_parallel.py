@@ -322,6 +322,102 @@ def test_fused_halo_step_matches_unsharded_fused(nx):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("mesh_shape,M,P", [
+    ((2, 2), 256, 512), ((4, 2), 256, 1024), ((2, 4), 128, 1024)])
+def test_packed_inverter_2d_matches_single_chip(mesh_shape, M, P):
+    """Round-4 VERDICT item 3: the 2-D-mesh fused inversion (y-gather +
+    flattened-axes transposes + the SAME offset x-stage kernel) is bitwise
+    the single-chip fused inversion."""
+    from jax.sharding import PartitionSpec as Pspec
+
+    from tpu_qg.ops.spectral import PackedModalInverterPallasFFT
+    from tpu_qg.parallel.packed import (DistributedPackedInverter2D,
+                                        distributed_packed_2d_supported)
+
+    nx, ny = mesh_shape
+    cfg = fused_cfg(M=M, P=P)
+    assert distributed_packed_2d_supported(M, P, nx, ny)
+    rng = np.random.default_rng(3)
+    zeta = np.asarray(rng.standard_normal((2, M, P)), np.float32)
+    single = PackedModalInverterPallasFFT(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), interpret=True)
+    ref = np.asarray(single(zeta))
+    mesh = make_mesh(mesh_shape)
+    dist = DistributedPackedInverter2D(
+        M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
+        cfg.back_projection_matrix(), interpret=True)
+    f = jax.jit(jax.shard_map(
+        dist, mesh=mesh, in_specs=(Pspec(None, "x", "y"),),
+        out_specs=Pspec(None, "x", "y"), check_vma=False))
+    got = np.asarray(f(zeta))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 2)])
+def test_fused_halo_step_2d_matches_unsharded_fused(mesh_shape):
+    """Round-4 VERDICT item 3 acceptance: the 2-D-MESH fused step (sharded
+    v4 kernel with y-edge correction + 2-D packed inversion) reproduces the
+    single-chip fused trajectory on (2,2)/(4,2) meshes with the Pallas
+    kernels ENGAGED (fused=True forces the gate; a gate miss raises)."""
+    from tpu_qg.parallel.stepper import (fused_2d_shape_supported,
+                                         make_halo_step_fn)
+
+    nx, ny = mesh_shape
+    # fft_mxu pinned to highest: the oracle's single-chip inverter runs
+    # highest, and the bf16x3 delta (~2^-16) straddles the 1e-5 gate.
+    cfg = fused_cfg(M=256, P=128 * nx * ny, fft_mxu="highest")
+    assert fused_2d_shape_supported(cfg, nx, ny)
+    mesh = make_mesh(mesh_shape)
+
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ref = init_state(cfg, psi_init=psi0)
+    oracle = _unsharded_fused_step(cfg)
+    for _ in range(3):
+        ref = oracle(ref)
+
+    step = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    assert int(s.step) == 3
+
+    # psi rides a 5e-5 gate (as in the chain tests): the y-edge columns'
+    # XLA-window-vs-kernel roundoff in zeta is amplified through the
+    # elliptic inversion's low-k symbols.
+    for name, tol in (("zeta", 1e-5), ("psi", 5e-5), ("f1", 1e-5)):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
+                                   err_msg=name)
+
+
+def test_fused_halo_step_2d_leapfrog():
+    """Scheme coverage for the 2-D fused step's y-edge correction: the
+    leapfrog-RA carry splice matches the single-chip fused path."""
+    from tpu_qg.parallel.stepper import (fused_2d_shape_supported,
+                                         make_halo_step_fn)
+
+    cfg = fused_cfg(M=256, P=512, time_scheme="leapfrog_ra",
+                    fft_mxu="highest")
+    assert fused_2d_shape_supported(cfg, 2, 2)
+    mesh = make_mesh((2, 2))
+    psi0 = _psi_init(cfg).astype(np.float32)
+    ref = init_state(cfg, psi_init=psi0)
+    oracle = _unsharded_fused_step(cfg)
+    for _ in range(3):
+        ref = oracle(ref)
+    step = make_halo_step_fn(cfg, mesh, donate=False, fused=True)
+    s = shard_state(init_state(cfg, psi_init=psi0), mesh)
+    for _ in range(3):
+        s = step(s)
+    for name, tol in (("zeta", 1e-5), ("psi", 5e-5), ("f1", 1e-5)):
+        a, b = np.asarray(getattr(s, name)), np.asarray(getattr(ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
+                                   err_msg=name)
+
+
 def test_fused_halo_step_leapfrog():
     """Scheme coverage: the leapfrog-RA carry (filtered zeta) flows through
     the sharded kernel identically to the single-chip fused path."""

@@ -84,15 +84,53 @@ def jacobi_smooth(u: Array, f: Array, dx: float, alpha, omega: float = 0.8,
     return c + omega * (f - apply_helmholtz(u, dx, alpha, shift)) / diag
 
 
+_FW_KERNEL = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0]) / 16.0
+
+
 def restrict_full_weighting(r: Array, shift=roll_shift) -> Array:
     """Full-weighting restriction to the half-resolution grid (coarse point
-    (i, j) sits at fine (2i, 2j); periodic)."""
+    (i, j) sits at fine (2i, 2j); periodic).
+
+    Single-device path: a stride-2 3x3 convolution (the separable
+    [1,2,1]/4 x [1,2,1]/4 stencil) — a first-class TPU op. The naive
+    9-shift + ``[..., ::2, ::2]`` form measured 8.2 ms at 2048^2 on chip
+    (results/mg_probe_2048_c500.json): stride-2 lane subsampling is a
+    pathological relayout on TPU and was 60% of the whole V-cycle. The
+    shift-generic form is kept for halo-padded (sharded) callers, whose
+    local subsample is over an interior-shaped block.
+    """
+    if shift is roll_shift:
+        *lead, m, p = r.shape
+        x = r.reshape(-1, 1, m, p)
+        # Periodic 1-ring pad, then VALID stride-2 conv: coarse (i, j)
+        # centers on fine (2i, 2j).
+        x = jnp.concatenate([x[:, :, -1:, :], x, x[:, :, :1, :]], axis=2)
+        x = jnp.concatenate([x[:, :, :, -1:], x, x[:, :, :, :1]], axis=3)
+        k = jnp.asarray(_FW_KERNEL, r.dtype).reshape(1, 1, 3, 3)
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y.reshape(*lead, m // 2, p // 2)
     w = (4.0 * shift(r, 0, 0)
          + 2.0 * (shift(r, 1, 0) + shift(r, -1, 0)
                   + shift(r, 0, 1) + shift(r, 0, -1))
          + shift(r, 1, 1) + shift(r, 1, -1)
          + shift(r, -1, 1) + shift(r, -1, -1)) * (1.0 / 16.0)
     return w[..., ::2, ::2]
+
+
+def restrict_full_weighting_padded(r_pad: Array) -> Array:
+    """Full-weighting restriction of a 1-halo-padded (..., m+2, p+2) block
+    (the sharded form: the halo IS the pad, so the stride-2 conv runs
+    VALID directly — same TPU-friendly lowering as the single-device
+    path)."""
+    *lead, mp2, pp2 = r_pad.shape
+    x = r_pad.reshape(-1, 1, mp2, pp2)
+    k = jnp.asarray(_FW_KERNEL, r_pad.dtype).reshape(1, 1, 3, 3)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y.reshape(*lead, (mp2 - 2) // 2, (pp2 - 2) // 2)
 
 
 def prolong_bilinear(uc: Array, shift=roll_shift) -> Array:

@@ -32,7 +32,7 @@ from jax import Array, lax
 
 from ..ops.multigrid import (_coarse_spectral_solve, apply_helmholtz,
                              jacobi_smooth, prolong_bilinear,
-                             restrict_full_weighting)
+                             restrict_full_weighting_padded)
 from .halo import exchange_halo, make_padded_shift
 
 _shift1 = make_padded_shift(1)
@@ -124,7 +124,7 @@ class DistributedMultigridSolver:
             u = jacobi_smooth(self._pad1(u), f, h, a, self.omega,
                               shift=_shift1)
         r = f - apply_helmholtz(self._pad1(u), h, a, shift=_shift1)
-        rc = restrict_full_weighting(self._pad1(r), shift=_shift1)
+        rc = restrict_full_weighting_padded(self._pad1(r))
         ec = self._vcycle(lvl + 1, jnp.zeros_like(rc), rc)
         u = u + prolong_bilinear(self._pad1(ec), shift=_shift1)
         for _ in range(self.nu2):

@@ -184,3 +184,65 @@ class DistributedPackedInverter(PackedModalInverter):
         Zy = self._pfft._call_y(zeta, False)                    # (2, m, P)
         V = self.x_stage(Zy)
         return self._pfft._call_y(V, True).astype(zeta.dtype)
+
+
+def distributed_packed_2d_supported(M: int, P: int, nx: int, ny: int,
+                                    itemsize: int = 4) -> bool:
+    """Shape gate for the 2-D-mesh fused inversion: the y-gather transpose
+    needs M % (nx*ny) == 0 with 8-aligned gathered rows, the flattened
+    xy-transpose needs P % (nx*ny*128) == 0, and the x-stage kernel must
+    fit exactly as in the (N, 1) form. Round-4 VERDICT item 3: (N, 1) was
+    the ONLY fused mesh shape, and rows-only weak scaling hits the
+    x-kernel's extent bound at M_global = 8192 — the 2-D form scales P
+    instead."""
+    from ..ops.pallas_fft import (_VMEM_TARGET_STREAM_PAIR,
+                                  _x_blockspec_fits, planar_fft2_fits,
+                                  stream_pair_x_footprint,
+                                  symbol_inverse_fits)
+    n = nx * ny
+    if itemsize != 4 or M % n != 0 or P % (n * _N1) != 0 or P % ny != 0:
+        return False
+    if (M // n) % 8 != 0:
+        return False
+    if not planar_fft2_fits(M, P):
+        return False
+    if _x_blockspec_fits(M, P):
+        return symbol_inverse_fits(M, P)
+    return stream_pair_x_footprint(M) <= _VMEM_TARGET_STREAM_PAIR
+
+
+class DistributedPackedInverter2D(DistributedPackedInverter):
+    """Fused packed inversion on an (nx, ny) 2-D mesh (round-4 VERDICT
+    item 3): the same Pallas kernels and x-stage as the (N, 1) form — the
+    x-ring all_to_alls simply run over the FLATTENED (x, y) axes (the
+    transposed row order matches the flattened device order, exactly as in
+    the generic DistributedHelmholtzSolver) — bracketed by a y-gather
+    transpose over the y sub-ring so the y-kernels see complete rows:
+
+      (2, m, p) --a2a(y)--> (2, m/ny, P) --fwd-y kernel-->
+      x_stage over (ax, ay)  --inv-y kernel--> --a2a(y)--> (2, m, p)
+
+    Local tile (2, M/nx, P/ny); inside shard_map over axes (ax, ay)."""
+
+    def __init__(self, M: int, P: int, dx: float, alpha2: float,
+                 P_inv, P_back, axis_x: str = "x", axis_y: str = "y",
+                 interpret: bool = False, mxu: str = "highest",
+                 stream_x: bool = None):
+        super().__init__(M, P, dx, alpha2, P_inv, P_back,
+                         axis_x=(axis_x, axis_y), interpret=interpret,
+                         mxu=mxu, stream_x=stream_x)
+        self.ay = axis_y
+
+    def __call__(self, zeta: Array) -> Array:
+        ny = lax.axis_size(self.ay)
+        z = zeta
+        if ny > 1:
+            z = lax.all_to_all(z, self.ay, split_axis=1, concat_axis=2,
+                               tiled=True)                  # (2, m/ny, P)
+        Zy = self._pfft._call_y(z, False)
+        V = self.x_stage(Zy)                # all_to_alls over (ax, ay)
+        u = self._pfft._call_y(V, True).astype(zeta.dtype)
+        if ny > 1:
+            u = lax.all_to_all(u, self.ay, split_axis=2, concat_axis=1,
+                               tiled=True)                  # (2, m, p)
+        return u
