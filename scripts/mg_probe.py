@@ -187,11 +187,22 @@ def main():
                     u, 64, 64, dx * (M // 64), alphas) + 0.0 * u,
                     fc, args.chunk, args.reps, rec["jobs"])
             elif job.startswith("vc"):
-                cutoff = int(job[2:])
-                solver = mg.MultigridSolver(M, M, dx, alphas, n_cycles=1,
-                                            coarse_cutoff=cutoff)
+                # vc<cutoff> (XLA smoothers) or vck<cutoff> (Pallas fused
+                # smoother kernel at every supported level).
+                kern = job[2] == "k"
+                cutoff = int(job[3:] if kern else job[2:])
+                solver = mg.MultigridSolver(
+                    M, M, dx, alphas, n_cycles=1, coarse_cutoff=cutoff,
+                    use_pallas="on" if kern else "off")
                 _measure(job, lambda u: solver._vcycle(0, u, f), f,
                          args.chunk, args.reps, rec["jobs"])
+            elif job == "mgsmooth":
+                from tpu_qg.ops.pallas_mg import mg_smooth
+
+                def sm(u):
+                    u2, r = mg_smooth(u, f, dx, alphas, 2, True)
+                    return u2 + 0.0 * r
+                _measure(job, sm, f, args.chunk, args.reps, rec["jobs"])
             elif job == "addone":
                 _measure(job, lambda u: u + 1.0, f, args.chunk, args.reps,
                          rec["jobs"])

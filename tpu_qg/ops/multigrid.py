@@ -87,30 +87,63 @@ def jacobi_smooth(u: Array, f: Array, dx: float, alpha, omega: float = 0.8,
 _FW_KERNEL = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0]) / 16.0
 
 
+@functools.lru_cache(maxsize=None)
+def _even_selector(block: int) -> np.ndarray:
+    """(block, block//2) 0/1 matrix selecting even indices within a block."""
+    s = np.zeros((block, block // 2), np.float32)
+    s[np.arange(0, block, 2), np.arange(block // 2)] = 1.0
+    return s
+
+
+def _halve_last(w: Array, block: int = 128) -> Array:
+    """Even-index subsample of the LAST axis via a block-diagonal factored
+    matmul: lanes viewed (..., p/block, block) hit a tiny (block, block/2)
+    MXU selector — even-index selection never crosses a block, so the
+    dense (p, p/2) matrix factors exactly. O(p * block) flops; avoids the
+    stride-2 lane relayout that measured 8.2 ms at 2048^2 on chip."""
+    *lead, p = w.shape
+    block = min(block, p)
+    sel = jnp.asarray(_even_selector(block), w.dtype)
+    v = w.reshape(*lead, p // block, block)
+    return jnp.einsum("...ab,bc->...ac", v, sel,
+                      precision=jax.lax.Precision.HIGHEST).reshape(
+                          *lead, p // 2)
+
+
+def _halve_second_last(w: Array, block: int = 128) -> Array:
+    """Even-index subsample of the SECOND-TO-LAST axis (same factored
+    trick, batched over the last axis)."""
+    *lead, m, p = w.shape
+    block = min(block, m)
+    sel = jnp.asarray(_even_selector(block), w.dtype)
+    v = w.reshape(*lead, m // block, block, p)
+    return jnp.einsum("...abp,bc->...acp", v, sel,
+                      precision=jax.lax.Precision.HIGHEST).reshape(
+                          *lead, m // 2, p)
+
+
+def _restrict_separable(w_rows_cols_weighted: Array) -> Array:
+    """Subsample both axes of an already-[1,2,1]-weighted field."""
+    return _halve_last(_halve_second_last(w_rows_cols_weighted))
+
+
 def restrict_full_weighting(r: Array, shift=roll_shift) -> Array:
     """Full-weighting restriction to the half-resolution grid (coarse point
     (i, j) sits at fine (2i, 2j); periodic).
 
-    Single-device path: a stride-2 3x3 convolution (the separable
-    [1,2,1]/4 x [1,2,1]/4 stencil) — a first-class TPU op. The naive
-    9-shift + ``[..., ::2, ::2]`` form measured 8.2 ms at 2048^2 on chip
-    (results/mg_probe_2048_c500.json): stride-2 lane subsampling is a
-    pathological relayout on TPU and was 60% of the whole V-cycle. The
-    shift-generic form is kept for halo-padded (sharded) callers, whose
-    local subsample is over an interior-shaped block.
+    Implementation (TPU-measured, results/mg_probe_2048_c500.json): the
+    separable [1,2,1]/4 filters as rolls, then even-index subsampling as
+    block-diagonal factored matmuls (selection within a 128 block never
+    crosses blocks, so the (p, p/2) selector factors into I_{p/128} (x)
+    S_128 — tiny MXU work instead of the pathological stride-2 lane
+    relayout: 8.2 ms naive, 1.6 ms as stride-2 conv, ~0.2 ms this form).
+    The selectors are 0/1 matrices at HIGHEST precision, so the result is
+    exact (identical values to the 9-point stencil form).
     """
     if shift is roll_shift:
-        *lead, m, p = r.shape
-        x = r.reshape(-1, 1, m, p)
-        # Periodic 1-ring pad, then VALID stride-2 conv: coarse (i, j)
-        # centers on fine (2i, 2j).
-        x = jnp.concatenate([x[:, :, -1:, :], x, x[:, :, :1, :]], axis=2)
-        x = jnp.concatenate([x[:, :, :, -1:], x, x[:, :, :, :1]], axis=3)
-        k = jnp.asarray(_FW_KERNEL, r.dtype).reshape(1, 1, 3, 3)
-        y = jax.lax.conv_general_dilated(
-            x, k, window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        return y.reshape(*lead, m // 2, p // 2)
+        wx = 0.25 * (shift(r, 1, 0) + shift(r, -1, 0)) + 0.5 * r
+        w = 0.25 * (shift(wx, 0, 1) + shift(wx, 0, -1)) + 0.5 * wx
+        return _restrict_separable(w)
     w = (4.0 * shift(r, 0, 0)
          + 2.0 * (shift(r, 1, 0) + shift(r, -1, 0)
                   + shift(r, 0, 1) + shift(r, 0, -1))
@@ -121,16 +154,14 @@ def restrict_full_weighting(r: Array, shift=roll_shift) -> Array:
 
 def restrict_full_weighting_padded(r_pad: Array) -> Array:
     """Full-weighting restriction of a 1-halo-padded (..., m+2, p+2) block
-    (the sharded form: the halo IS the pad, so the stride-2 conv runs
-    VALID directly — same TPU-friendly lowering as the single-device
-    path)."""
-    *lead, mp2, pp2 = r_pad.shape
-    x = r_pad.reshape(-1, 1, mp2, pp2)
-    k = jnp.asarray(_FW_KERNEL, r_pad.dtype).reshape(1, 1, 3, 3)
-    y = jax.lax.conv_general_dilated(
-        x, k, window_strides=(2, 2), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return y.reshape(*lead, (mp2 - 2) // 2, (pp2 - 2) // 2)
+    (the sharded form: the halo replaces the periodic rolls; the factored
+    subsample then runs on the interior-shaped weighted field)."""
+    # Row filter on the full column extent (so the column filter sees its
+    # y-halo), then the column filter, then the factored subsample.
+    cy = r_pad[..., 1:-1, :]
+    wxy = 0.25 * (r_pad[..., 2:, :] + r_pad[..., :-2, :]) + 0.5 * cy
+    w = 0.25 * (wxy[..., 2:] + wxy[..., :-2]) + 0.5 * wxy[..., 1:-1]
+    return _restrict_separable(w)
 
 
 def prolong_bilinear(uc: Array, shift=roll_shift) -> Array:
@@ -198,11 +229,13 @@ class MultigridSolver:
 
     def __init__(self, M: int, P: int, dx: float, alphas: Sequence[float],
                  n_cycles: int = 8, nu1: int = 2, nu2: int = 2,
-                 omega: float = 0.8, coarse_cutoff: int = 32):
+                 omega: float = 0.8, coarse_cutoff: int = 32,
+                 use_pallas: str = "auto", interpret: bool = False):
         self.M, self.P, self.dx = M, P, dx
         self.alphas = tuple(float(a) for a in alphas)
         self.n_cycles, self.nu1, self.nu2 = n_cycles, nu1, nu2
         self.omega = omega
+        self.interpret = interpret
         # Level l has spacing dx * 2^l and extents (M >> l, P >> l);
         # coarsen while both extents are even and above the cutoff.
         levels = []
@@ -212,24 +245,52 @@ class MultigridSolver:
             m, p, h = m // 2, p // 2, h * 2.0
         self.levels = levels            # fine -> next-to-coarsest
         self.coarse = (m, p, h)
+        # Pallas fused smoother (ops/pallas_mg.py): nu sweeps (+ residual)
+        # in one streamed HBM pass per level where the shape gate admits
+        # it. "auto" = on-TPU only; "on" forces (interpret off-TPU, tests).
+        if use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"use_pallas={use_pallas!r}")
+        self.use_pallas = use_pallas
+
+    def _pallas_level(self, lvl: int) -> bool:
+        if self.use_pallas == "off":
+            return False
+        if self.use_pallas == "auto" and (
+                jax.default_backend() != "tpu" and not self.interpret):
+            return False
+        from .pallas_mg import mg_smooth_supported
+        m, p, _ = self.levels[lvl]
+        K = len(self.alphas)
+        return (mg_smooth_supported(K, m, p, self.nu1, True)
+                and mg_smooth_supported(K, m, p, self.nu2, False))
 
     def _alpha_col(self, dtype):
         return jnp.asarray(self.alphas, dtype).reshape(-1, 1, 1)
+
+    def _smooth_block(self, lvl: int, u: Array, f: Array, nu: int,
+                      residual: bool):
+        """nu Jacobi sweeps (+ optional residual) at a level: one Pallas
+        pass where supported, the XLA expression chain elsewhere."""
+        _, _, h = self.levels[lvl]
+        if self._pallas_level(lvl):
+            from .pallas_mg import mg_smooth
+            return mg_smooth(u, f, h, self.alphas, nu, residual,
+                             self.omega, self.interpret)
+        a = self._alpha_col(u.dtype)
+        for _ in range(nu):
+            u = jacobi_smooth(u, f, h, a, self.omega)
+        r = f - apply_helmholtz(u, h, a) if residual else None
+        return u, r
 
     def _vcycle(self, lvl: int, u: Array, f: Array) -> Array:
         if lvl == len(self.levels):
             m, p, h = self.coarse
             return _coarse_spectral_solve(f, m, p, h, self.alphas)
-        _, _, h = self.levels[lvl]
-        a = self._alpha_col(u.dtype)
-        for _ in range(self.nu1):
-            u = jacobi_smooth(u, f, h, a, self.omega)
-        r = f - apply_helmholtz(u, h, a)
+        u, r = self._smooth_block(lvl, u, f, self.nu1, True)
         rc = restrict_full_weighting(r)
         ec = self._vcycle(lvl + 1, jnp.zeros_like(rc), rc)
         u = u + prolong_bilinear(ec)
-        for _ in range(self.nu2):
-            u = jacobi_smooth(u, f, h, a, self.omega)
+        u, _ = self._smooth_block(lvl, u, f, self.nu2, False)
         return u
 
     def __call__(self, f: Array, x0: Optional[Array] = None) -> Array:
@@ -264,9 +325,12 @@ class MultigridModalInverter:
 
     def __init__(self, M: int, P: int, dx: float, alpha2: float,
                  P_inv, P_back, n_cycles: int = 8, nu1: int = 2,
-                 nu2: int = 2):
+                 nu2: int = 2, use_pallas: str = "auto",
+                 interpret: bool = False):
         self.solver = MultigridSolver(M, P, dx, (0.0, float(alpha2)),
-                                      n_cycles=n_cycles, nu1=nu1, nu2=nu2)
+                                      n_cycles=n_cycles, nu1=nu1, nu2=nu2,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
         self.P_inv = np.asarray(P_inv)
         self.P_back = np.asarray(P_back)
         # Warm-start projection: psi = P_back @ modes, so the seed is

@@ -1,0 +1,194 @@
+"""Pallas fused smoother for the multigrid V-cycle (round 5).
+
+The XLA V(2,2) cycle at 2048^2 costs ~14 field passes of HBM traffic as
+separate fused-expression sweeps (measured 0.30 ms per Jacobi sweep vs a
+0.13 ms floor, plus per-op overheads at every level —
+results/mg_probe_2048_c500.json). This kernel streams row tiles once and
+performs ``nu`` damped-Jacobi sweeps IN VMEM (plus, optionally, the
+residual for restriction), so the fine level's pre-smooth + residual
+becomes ONE pass over u and f (4 planes in, 4 out for K = 2 modes) instead
+of nu+1 passes.
+
+Same choreography as the v4 streamed step kernel
+(ops/pallas_tendency.py): double-buffered manual DMA of (K, T+2H, P)
+windows with _H = 8 halo rows fetched circularly; row neighbors are
+pltpu.roll of the 8-aligned slab (the >= 8-row halo absorbs the circular
+wrap for the <= 3 rows of validity each sweep consumes — the ALIGNED-body
+trick), column neighbors are lane rolls (periodic: single-device form).
+
+Arithmetic: the cancellation-robust difference form of ops/multigrid.py
+(sum of (neighbor - center)); the V-cycle's fixed point is set by the
+fine-level residual, so kernel-vs-XLA rounding differences wash out of the
+converged answer (tests compare at f32 roundoff).
+
+Reference counterpart: the backsolve part of the per-step elliptic solve
+(src/schemes/laplacian.jl:60-75) — this is its communication-avoiding
+TPU-native replacement's hot loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_tendency import _H, _make_halo_fetch_ops, _params
+
+_MAX_NU_RES = _H - 1            # validity rows consumed: nu sweeps + residual
+
+
+def mg_smooth_supported(K: int, M: int, P: int, nu: int,
+                        residual: bool) -> bool:
+    """Shape gate: 128-lane columns, 8-aligned rows with at least two
+    tiles, and enough halo validity for nu sweeps (+ residual)."""
+    if P % 128 or M % 8 or M < 128:
+        return False
+    if nu + (1 if residual else 0) > _MAX_NU_RES:
+        return False
+    return _pick_tile_mg(M, P, K) > 0
+
+
+def _footprint_mg(T: int, P: int, K: int) -> int:
+    """Scoped-VMEM estimate: double-buffered u/f windows, two output
+    buffers each for u_out and r, ~5 slab temporaries per mode pass."""
+    slab = (T + 2 * _H) * P * 4
+    bufs = 2 * K * slab * 2                 # u + f, 2 slots each
+    outs = 2 * 2 * K * T * P * 4            # <= 2 outputs, double-buffered
+    temps = 5 * slab
+    return bufs + outs + temps
+
+
+def _pick_tile_mg(M: int, P: int, K: int) -> int:
+    from .pallas_tendency import _VMEM_BUDGET
+    for T in (256, 128, 64, 32, 16, 8):
+        if M % T == 0 and M // T >= 2 and _footprint_mg(T, P, K) <= _VMEM_BUDGET:
+            return T
+    return 0
+
+
+def _rup(u):
+    return pltpu.roll(u, u.shape[0] - 1, axis=0)    # value at row r+1
+
+
+def _rdn(u):
+    return pltpu.roll(u, 1, axis=0)                 # value at row r-1
+
+
+def _cup(u):
+    return pltpu.roll(u, u.shape[1] - 1, axis=1)    # value at column j+1
+
+
+def _cdn(u):
+    return pltpu.roll(u, 1, axis=1)                 # value at column j-1
+
+
+def _lap_alpha_slab(w, inv_dx2, alpha):
+    """(lap + alpha) w over the full slab (difference form), valid on all
+    rows except the outermost (circular-wrap) ring."""
+    lap = (((_rup(w) - w) + (_rdn(w) - w))
+           + ((_cup(w) - w) + (_cdn(w) - w))) * inv_dx2
+    return lap + alpha * w
+
+
+def _mg_kernel(K: int, T: int, M: int, nu: int, residual: bool,
+               inv_dx2: float, alphas: Tuple[float, ...], omega: float,
+               step_ref, *args):
+    if residual:
+        (u_hbm, f_hbm, u_out, r_out, u_buf, f_buf, sems) = args
+    else:
+        (u_hbm, f_hbm, u_out, u_buf, f_buf, sems) = args
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def ops(j, slot):
+        return (_make_halo_fetch_ops(T, M, n, j, u_hbm, u_buf.at[slot],
+                                     sems.at[slot, 0], sems.at[slot, 1])
+                + _make_halo_fetch_ops(T, M, n, j, f_hbm, f_buf.at[slot],
+                                       sems.at[slot, 2], sems.at[slot, 3]))
+
+    def _foreach(j, slot, action):
+        for cond, thunk in ops(j, slot):
+            if cond is None:
+                for cp in thunk():
+                    action(cp)
+            else:
+                @pl.when(cond)
+                def _(thunk=thunk):
+                    for cp in thunk():
+                        action(cp)
+
+    two = jnp.asarray(2, i.dtype)
+    slot = jax.lax.rem(i, two)
+
+    @pl.when(i == 0)
+    def _():
+        _foreach(0, 0, lambda cp: cp.start())
+
+    @pl.when(i + 1 < n)
+    def _():
+        _foreach(i + 1, jax.lax.rem(i + 1, two), lambda cp: cp.start())
+
+    _foreach(i, slot, lambda cp: cp.wait())
+
+    for k in range(K):
+        w = u_buf[pl.ds(slot, 1), k][0]            # (T+2H, P)
+        fv = f_buf[pl.ds(slot, 1), k][0]
+        a = alphas[k]
+        diag = -4.0 * inv_dx2 + a
+        for _ in range(nu):
+            r_s = fv - _lap_alpha_slab(w, inv_dx2, a)
+            w = w + (omega / diag) * r_s
+        u_out[k] = w[_H:_H + T, :]
+        if residual:
+            r_full = fv - _lap_alpha_slab(w, inv_dx2, a)
+            r_out[k] = r_full[_H:_H + T, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(2, 3, 4, 5, 6, 7))
+def mg_smooth(u: Array, f: Array, dx: float, alphas: Tuple[float, ...],
+              nu: int = 2, residual: bool = True, omega: float = 0.8,
+              interpret: bool = False):
+    """``nu`` damped-Jacobi sweeps of (lap + alpha_k) u_k = f_k in ONE
+    streamed HBM pass; returns (u_smoothed, residual_or_None)."""
+    K, M, P = u.shape
+    assert alphas and len(alphas) == K
+    dtype = u.dtype
+    T = _pick_tile_mg(M, P, K)
+    assert T > 0 and nu + (1 if residual else 0) <= _MAX_NU_RES
+
+    kernel = functools.partial(
+        _mg_kernel, K, T, M, nu, residual, float(1.0 / (dx * dx)),
+        tuple(float(a) for a in alphas), float(omega))
+    out_specs = [pl.BlockSpec((K, T, P), lambda i, s: (0, i, 0),
+                              memory_space=pltpu.MemorySpace.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((K, M, P), dtype)]
+    if residual:
+        out_specs = out_specs * 2
+        out_shape = out_shape * 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, K, T + 2 * _H, P), dtype),
+            pltpu.VMEM((2, K, T + 2 * _H, P), dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret or jax.default_backend() != "tpu",
+        compiler_params=_params(),
+    )(jnp.zeros((1,), jnp.int32), u, f)
+    if residual:
+        return outs[0], outs[1]
+    return outs[0], None
