@@ -164,6 +164,73 @@ def main():
                  f"{tor6:.2f} | {et6:.0%} | {eo6:.0%} | {et4:.0%} |")
         emit()
 
+    # ------------------------------------------------------------------
+    # Round 5: the communication-avoiding MULTIGRID route (measured).
+    mgk = os.path.join(REPO, "results", "decomp_r5_mgk_2048_c500.json")
+    mg8 = os.path.join(REPO, "results", "decomp_r5_mgk_8192.json")
+    if os.path.exists(mgk):
+        jobs = json.load(open(mgk))["jobs"]
+        mg1 = jobs["mg@1"]["ms_per_iter"]
+        mg2 = jobs["mg@2"]["ms_per_iter"]
+        cyc2048 = mg2 - mg1              # marginal V-cycle cost at 2048^2
+        base2048 = mg1 - cyc2048         # projection + fixed overhead
+        kern2048 = 0.4928                # v4 kernel, decomp_r4_2048_c500
+        if os.path.exists(mg8):
+            j8 = json.load(open(mg8))["jobs"]
+            cyc8192 = j8["mg@2"]["ms_per_iter"] - j8["mg@1"]["ms_per_iter"]
+            base8192 = j8["mg@1"]["ms_per_iter"] - cyc8192
+            mg8192_src = "measured (decomp_r5_mgk_8192.json)"
+        else:
+            cyc8192, base8192 = 16.0 * cyc2048, 16.0 * base2048
+            mg8192_src = "scaled 16x from 2048^2 (area ratio)"
+        kern8192 = 7.9                   # 16 x v4 kernel (area-scaled)
+
+        def mg_comm_ms(P_, n_levels, cycles, nx):
+            # (nu1 + nu2 + 2) 1-row halo exchanges per level per cycle
+            # (K = 2 modes batched), + the 64^2 coarse all_gather.
+            if nx == 1:
+                return 0.0
+            per_ex = 2 * 2 * 2 * P_ * 4          # K * dirs * rows * P * f32
+            lat = 2e-6
+            ex = 6 * n_levels * cycles
+            gather = 2 * 64 * 64 * 4 * cycles
+            return (ex * (per_ex / (W_LINK * SUSTAIN) + lat)
+                    + gather / (W_LINK * SUSTAIN)) * 1e3
+
+        emit("**Multigrid route (round 5) — measured single-chip V-cycle "
+             "costs, O(halo) comm**")
+        emit()
+        emit(f"Measured at 2048^2 (decomp_r5_mgk_2048_c500.json, c500 "
+             f"protocol, Pallas fused smoother): marginal V-cycle "
+             f"{cyc2048:.2f} ms, inversion overhead {base2048:.2f} ms; "
+             f"8192^2 cycle {cyc8192:.1f} ms ({mg8192_src}). Step = v4 "
+             "kernel + overhead + C cycles + halo comm; weak-scaling "
+             "efficiency vs the best SINGLE-chip step (spectral).")
+        emit()
+        emit("| tile/chip | C (cycles/step) | step ms (8 chips) | "
+             "eff vs 1-chip spectral | spectral-route eff (8 chips) |")
+        emit("|---|---|---|---|---|")
+        for tile, kern, cyc, base, t1, levels in (
+                ("2048^2", kern2048, cyc2048, base2048, meas["t2048"], 5),
+                ("8192^2", kern8192, cyc8192, base8192, meas["t8192"], 7)):
+            for C in (1, 2, 4):
+                comm = mg_comm_ms(int(tile[:4]), levels, C, 8)
+                step = kern + base + C * cyc + comm
+                eff = t1 / step
+                spec_eff = {"2048^2": 0.38, "8192^2": 0.45}[tile]
+                emit(f"| {tile} | {C} | {step:.2f} | {eff:.0%} | "
+                     f"{spec_eff:.0%} |")
+        emit()
+        emit("The MG route's comm term is < 1 ms at any chip count (it "
+             "does not grow with the mesh: halos + a 64^2 gather), so "
+             "these efficiencies are flat from 8 chips up — the "
+             "structural fix for the transposed-FFT wall. C = 1 suffices "
+             "when the warm-started solve's lag error sits in the f32 "
+             "noise band (drift evidence: results/mg_accuracy_*.json); "
+             "the pod default stays C = 2 unless that evidence holds at "
+             "production resolution.")
+        emit()
+
     emit("Reading: the transposed-FFT inversion must move the whole field "
          "across the mesh twice per step (plus the mirror companion), so "
          "per-chip all_to_all volume is CONSTANT under weak scaling while "
