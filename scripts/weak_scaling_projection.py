@@ -224,11 +224,19 @@ def main():
         emit("The MG route's comm term is < 1 ms at any chip count (it "
              "does not grow with the mesh: halos + a 64^2 gather), so "
              "these efficiencies are flat from 8 chips up — the "
-             "structural fix for the transposed-FFT wall. C = 1 suffices "
-             "when the warm-started solve's lag error sits in the f32 "
-             "noise band (drift evidence: results/mg_accuracy_*.json); "
-             "the pod default stays C = 2 unless that evidence holds at "
-             "production resolution.")
+             "structural fix for the transposed-FFT wall. Fidelity sets "
+             "the cycle count (results/mg_accuracy_256_5000.json, 5000 "
+             "steps f32, SATURATING bias vs the spectral trajectory): "
+             "C=4 sits in the f32 noise band (energy 2.8e-7) and is the "
+             "default; C=2 carries a bounded ~2e-4 energy bias for 54% "
+             "at 8 chips; C=1 ~2e-3 for 90%. All three beat or match "
+             "the spectral route at 8+ chips at 8192^2 tiles; the "
+             "f32-band-at->=80% combination needs either a cheaper cycle "
+             "(fusing restrict/prolong into the smoother kernel; the "
+             "cycle is 2.5x its HBM floor) or a psi-extrapolation warm "
+             "start (seed 2 psi_n - psi_{n-1}: cuts the lag source ~10x, "
+             "needs one extra history plane in State) — both named "
+             "next-round levers.")
         emit()
 
     emit("Reading: the transposed-FFT inversion must move the whole field "

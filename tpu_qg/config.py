@@ -294,6 +294,18 @@ def preset(name: str) -> ModelConfig:
             M=8192, P=8192, Lx=4000.0 * KM, Ly=4000.0 * KM,
             dt=30.0, T=1.0 * DAY, dtype="float32",
         ),
+        # BASELINE config 5 on the communication-avoiding elliptic route:
+        # distributed multigrid (O(halo) traffic/step) instead of the
+        # transposed-FFT inversion — the 8+-chip weak-scaling pick
+        # (results/scaling_projection.md round-5 MG table). mg_cycles=4 is
+        # the f32-noise-band fidelity point (results/mg_accuracy_256_5000
+        # .json); drop to 2 to trade a saturating ~2e-4 energy bias for
+        # ~1.8x more step throughput at 8 chips.
+        "pod-8192-mg": ModelConfig(
+            M=8192, P=8192, Lx=4000.0 * KM, Ly=4000.0 * KM,
+            dt=30.0, T=1.0 * DAY, dtype="float32",
+            elliptic_impl="multigrid", mg_cycles=4,
+        ),
         # Reference benchmark sweep base (reference: src/benchmarking/benchmarking.jl:6-26).
         "bench-ref": ModelConfig(
             Lx=4000.0 * KM, Ly=4000.0 * KM, dt=60.0 * MINUTES, T=1.0 * DAY,

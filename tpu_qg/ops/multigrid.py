@@ -87,12 +87,14 @@ def jacobi_smooth(u: Array, f: Array, dx: float, alpha, omega: float = 0.8,
 _FW_KERNEL = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0]) / 16.0
 
 
-@functools.lru_cache(maxsize=None)
-def _even_selector(block: int) -> np.ndarray:
-    """(block, block//2) 0/1 matrix selecting even indices within a block."""
-    s = np.zeros((block, block // 2), np.float32)
-    s[np.arange(0, block, 2), np.arange(block // 2)] = 1.0
-    return s
+def _even_selector(block: int, dtype) -> Array:
+    """(block, block//2) 0/1 matrix selecting even indices within a block —
+    built from iotas at trace time (a materialized np constant costs 65 KB
+    of HLO per use; six of them pushed the 8192^2 program over the remote
+    compile tunnel's request-size limit)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (block, block // 2), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (block, block // 2), 1)
+    return (r == 2 * c).astype(dtype)
 
 
 def _halve_last(w: Array, block: int = 128) -> Array:
@@ -103,7 +105,7 @@ def _halve_last(w: Array, block: int = 128) -> Array:
     stride-2 lane relayout that measured 8.2 ms at 2048^2 on chip."""
     *lead, p = w.shape
     block = min(block, p)
-    sel = jnp.asarray(_even_selector(block), w.dtype)
+    sel = _even_selector(block, w.dtype)
     v = w.reshape(*lead, p // block, block)
     return jnp.einsum("...ab,bc->...ac", v, sel,
                       precision=jax.lax.Precision.HIGHEST).reshape(
@@ -115,7 +117,7 @@ def _halve_second_last(w: Array, block: int = 128) -> Array:
     trick, batched over the last axis)."""
     *lead, m, p = w.shape
     block = min(block, m)
-    sel = jnp.asarray(_even_selector(block), w.dtype)
+    sel = _even_selector(block, w.dtype)
     v = w.reshape(*lead, m // block, block, p)
     return jnp.einsum("...abp,bc->...acp", v, sel,
                       precision=jax.lax.Precision.HIGHEST).reshape(
