@@ -254,6 +254,13 @@ class MultigridSolver:
             raise ValueError(f"use_pallas={use_pallas!r}")
         self.use_pallas = use_pallas
 
+    # Kernel-route only levels at/above this extent: each level adds two
+    # Mosaic payloads to the program, and at 8192^2 the 16 payloads of a
+    # full hierarchy exceeded the remote-compile tunnel's request-size
+    # limit (HTTP 413); levels below 512 are <2% of the cycle each, so
+    # XLA there costs nothing measurable.
+    _PALLAS_MIN_EXTENT = 512
+
     def _pallas_level(self, lvl: int) -> bool:
         if self.use_pallas == "off":
             return False
@@ -262,6 +269,8 @@ class MultigridSolver:
             return False
         from .pallas_mg import mg_smooth_supported
         m, p, _ = self.levels[lvl]
+        if min(m, p) < self._PALLAS_MIN_EXTENT:
+            return False
         K = len(self.alphas)
         return (mg_smooth_supported(K, m, p, self.nu1, True)
                 and mg_smooth_supported(K, m, p, self.nu2, False))
