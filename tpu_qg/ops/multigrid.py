@@ -254,11 +254,13 @@ class MultigridSolver:
             raise ValueError(f"use_pallas={use_pallas!r}")
         self.use_pallas = use_pallas
 
-    # Kernel-route only levels at/above this extent: each level adds two
-    # Mosaic payloads to the program, and at 8192^2 the 16 payloads of a
-    # full hierarchy exceeded the remote-compile tunnel's request-size
-    # limit (HTTP 413); levels below 512 are <2% of the cycle each, so
-    # XLA there costs nothing measurable.
+    # Kernel-route only the TOP few levels: each kernel level adds two
+    # Mosaic payloads to the program, and a full 8192^2 hierarchy's
+    # payloads exceed the remote-compile tunnel's request-size limit
+    # (HTTP 413). The top 3 levels are >= 98% of the cycle's work (each
+    # level is 4x cheaper than the one above), so XLA below costs nothing
+    # measurable; 2048^2 re-measured 1.19 ms/inversion-cycle either way.
+    _PALLAS_MAX_LEVELS = 3
     _PALLAS_MIN_EXTENT = 512
 
     def _pallas_level(self, lvl: int) -> bool:
@@ -268,6 +270,8 @@ class MultigridSolver:
                 jax.default_backend() != "tpu" and not self.interpret):
             return False
         from .pallas_mg import mg_smooth_supported
+        if lvl >= self._PALLAS_MAX_LEVELS:
+            return False
         m, p, _ = self.levels[lvl]
         if min(m, p) < self._PALLAS_MIN_EXTENT:
             return False
