@@ -181,9 +181,14 @@ def main():
                 mginv = MultigridModalInverter(
                     M, P, cfg.dx, cfg.S_eig, cfg.P_inv_matrix(),
                     cfg.back_projection_matrix(), n_cycles=cycles)
-                zeta_c = state0.zeta
-                _measure(job, lambda psi: mginv(zeta_c, psi_prev=psi),
-                         state0.psi, args.chunk, args.reps, rec["jobs"])
+                # zeta rides the scan carry: closing over it would embed a
+                # (2, M, P) CONSTANT in the program — 268 MB at 8192^2,
+                # which overflows the remote-compile tunnel's request-size
+                # limit (HTTP 413).
+                _measure(job,
+                         lambda t: (mginv(t[1], psi_prev=t[0]), t[1]),
+                         (state0.psi, state0.zeta), args.chunk, args.reps,
+                         rec["jobs"])
             elif job == "addone":
                 # Scan-iteration floor probe: one elementwise full-field op
                 # per iteration (HBM floor ~0.082 ms at 2048^2). Anything

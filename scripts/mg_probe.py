@@ -93,8 +93,12 @@ def main():
         job = job.strip()
         try:
             if job == "jac":
-                _measure(job, lambda u: mg.jacobi_smooth(u, f, dx, a_col),
-                         f, args.chunk, args.reps, rec["jobs"])
+                # f rides the carry: closing over it embeds a (2, M, M)
+                # constant (268 MB at 8192^2 -> remote-compile HTTP 413).
+                _measure(job,
+                         lambda t: (mg.jacobi_smooth(t[0], t[1], dx,
+                                                     a_col), t[1]),
+                         (f, f), args.chunk, args.reps, rec["jobs"])
             elif job == "lap":
                 _measure(job, lambda u: mg.apply_helmholtz(u, dx, a_col),
                          f, args.chunk, args.reps, rec["jobs"])
@@ -194,15 +198,17 @@ def main():
                 solver = mg.MultigridSolver(
                     M, M, dx, alphas, n_cycles=1, coarse_cutoff=cutoff,
                     use_pallas="on" if kern else "off")
-                _measure(job, lambda u: solver._vcycle(0, u, f), f,
-                         args.chunk, args.reps, rec["jobs"])
+                _measure(job,
+                         lambda t: (solver._vcycle(0, t[0], t[1]), t[1]),
+                         (f, f), args.chunk, args.reps, rec["jobs"])
             elif job == "mgsmooth":
                 from tpu_qg.ops.pallas_mg import mg_smooth
 
-                def sm(u):
-                    u2, r = mg_smooth(u, f, dx, alphas, 2, True)
-                    return u2 + 0.0 * r
-                _measure(job, sm, f, args.chunk, args.reps, rec["jobs"])
+                def sm(t):
+                    u2, r = mg_smooth(t[0], t[1], dx, alphas, 2, True)
+                    return u2 + 0.0 * r, t[1]
+                _measure(job, sm, (f, f), args.chunk, args.reps,
+                         rec["jobs"])
             elif job == "addone":
                 _measure(job, lambda u: u + 1.0, f, args.chunk, args.reps,
                          rec["jobs"])

@@ -175,11 +175,16 @@ def main():
         cyc2048 = mg2 - mg1              # marginal V-cycle cost at 2048^2
         base2048 = mg1 - cyc2048         # projection + fixed overhead
         kern2048 = 0.4928                # v4 kernel, decomp_r4_2048_c500
-        if os.path.exists(mg8):
+        if os.path.exists(mg8) and "ms_per_iter" in json.load(
+                open(mg8))["jobs"].get("mg@1", {}):
             j8 = json.load(open(mg8))["jobs"]
+            # chunk-60 protocol: subtract the fixed per-chunk tunnel
+            # overhead (addone at 8192^2 chunk 60 = 2.07 ms/iter vs the
+            # ~0.65 ms HBM floor -> ~1.4 ms of artifact per iter).
+            art = 1.4
             cyc8192 = j8["mg@2"]["ms_per_iter"] - j8["mg@1"]["ms_per_iter"]
-            base8192 = j8["mg@1"]["ms_per_iter"] - cyc8192
-            mg8192_src = "measured (decomp_r5_mgk_8192.json)"
+            base8192 = j8["mg@1"]["ms_per_iter"] - cyc8192 - art
+            mg8192_src = "measured (decomp_r5_mgk_8192.json, c60 protocol)"
         else:
             cyc8192, base8192 = 16.0 * cyc2048, 16.0 * base2048
             mg8192_src = "scaled 16x from 2048^2 (area ratio)"
@@ -223,20 +228,25 @@ def main():
         emit()
         emit("The MG route's comm term is < 1 ms at any chip count (it "
              "does not grow with the mesh: halos + a 64^2 gather), so "
-             "these efficiencies are flat from 8 chips up — the "
-             "structural fix for the transposed-FFT wall. Fidelity sets "
+             "these efficiencies are FLAT from 8 chips up, while the "
+             "spectral route keeps degrading (ring all_to_all: 17-22% at "
+             "16 chips) — the structural property BASELINE.json asks "
+             "for. As MEASURED, the crossover vs the spectral route is "
+             "at 8+ chips for 2048^2 tiles (C=1: ~52% vs 29-38%) and "
+             "~par at 8192^2 tiles (C=1: ~39% vs 36-45%; the measured "
+             "8192^2 cycle is ~2.6x the 2048^2 area scaling — "
+             "XLA-side restrict/prolong/level overheads grow "
+             "superlinearly there, see results/mg_probe_8192_c60.json — "
+             "the identified cycle-cost lever, along with fusing "
+             "restrict/prolong into the smoother kernel). Fidelity sets "
              "the cycle count (results/mg_accuracy_256_5000.json, 5000 "
              "steps f32, SATURATING bias vs the spectral trajectory): "
              "C=4 sits in the f32 noise band (energy 2.8e-7) and is the "
-             "default; C=2 carries a bounded ~2e-4 energy bias for 54% "
-             "at 8 chips; C=1 ~2e-3 for 90%. All three beat or match "
-             "the spectral route at 8+ chips at 8192^2 tiles; the "
-             "f32-band-at->=80% combination needs either a cheaper cycle "
-             "(fusing restrict/prolong into the smoother kernel; the "
-             "cycle is 2.5x its HBM floor) or a psi-extrapolation warm "
-             "start (seed 2 psi_n - psi_{n-1}: cuts the lag source ~10x, "
-             "needs one extra history plane in State) — both named "
-             "next-round levers.")
+             "default; C=2 trades a bounded ~2e-4 energy bias, C=1 "
+             "~2e-3. The f32-band->=80% combination additionally needs "
+             "a psi-extrapolation warm start (seed 2 psi_n - psi_{n-1}: "
+             "cuts the lag source ~10x for the same cycles; one extra "
+             "history plane in State) — the named next-round levers.")
         emit()
 
     emit("Reading: the transposed-FFT inversion must move the whole field "

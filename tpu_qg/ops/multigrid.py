@@ -113,15 +113,13 @@ def _halve_last(w: Array, block: int = 128) -> Array:
 
 
 def _halve_second_last(w: Array, block: int = 128) -> Array:
-    """Even-index subsample of the SECOND-TO-LAST axis (same factored
-    trick, batched over the last axis)."""
-    *lead, m, p = w.shape
-    block = min(block, m)
-    sel = _even_selector(block, w.dtype)
-    v = w.reshape(*lead, m // block, block, p)
-    return jnp.einsum("...abp,bc->...acp", v, sel,
-                      precision=jax.lax.Precision.HIGHEST).reshape(
-                          *lead, m // 2, p)
+    """Even-index subsample of the SECOND-TO-LAST axis: transpose
+    sandwich around the lane-dim halving. The direct dot_general over the
+    second-minor dim is layout-hostile at large extents (18.3 ms restrict
+    at 8192^2 vs 0.34 ms at 2048^2, results/mg_probe_8192_c60.json);
+    full transposes are cheap, fused relayouts."""
+    t = jnp.swapaxes(w, -1, -2)
+    return jnp.swapaxes(_halve_last(t, block), -1, -2)
 
 
 def _restrict_separable(w_rows_cols_weighted: Array) -> Array:
@@ -166,9 +164,41 @@ def restrict_full_weighting_padded(r_pad: Array) -> Array:
     return _restrict_separable(w)
 
 
+def _interleave_last(a: Array, b: Array, block: int = 64) -> Array:
+    """out[..., 2j] = a[..., j], out[..., 2j+1] = b[..., j] via factored
+    block-diagonal expansion matmuls (the jnp.stack+reshape interleave is
+    layout-hostile at large extents: 10.5 ms prolong at 8192^2)."""
+    *lead, q = a.shape
+    block = min(block, q)
+    r = jax.lax.broadcasted_iota(jnp.int32, (block, 2 * block), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (block, 2 * block), 1)
+    E = (c == 2 * r).astype(a.dtype)
+    O = (c == 2 * r + 1).astype(a.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    va = a.reshape(*lead, q // block, block)
+    vb = b.reshape(*lead, q // block, block)
+    out = (jnp.einsum("...ab,bc->...ac", va, E, precision=hi)
+           + jnp.einsum("...ab,bc->...ac", vb, O, precision=hi))
+    return out.reshape(*lead, 2 * q)
+
+
 def prolong_bilinear(uc: Array, shift=roll_shift) -> Array:
     """Bilinear prolongation to the double-resolution grid (transpose of
-    full weighting up to the standard factor)."""
+    full weighting up to the standard factor).
+
+    Single-device path: separable — lane interleave (center, avg-right)
+    via factored expansion matmuls, then the row interleave as the same
+    lane op inside a transpose sandwich. Same values as the stacked form
+    (fine[2i+1, 2j+1] composes to the 4-point average); the stacked
+    interleave measured 10.5 ms at 8192^2 vs 0.31 ms at 2048^2
+    (results/mg_probe_8192_c60.json)."""
+    if shift is roll_shift:
+        right = shift(uc, 0, 1)
+        wide = _interleave_last(uc, 0.5 * (uc + right))   # (..., mc, 2pc)
+        down = shift(wide, 1, 0)                          # row i+1
+        t = jnp.swapaxes(wide, -1, -2)
+        td = jnp.swapaxes(0.5 * (wide + down), -1, -2)
+        return jnp.swapaxes(_interleave_last(t, td), -1, -2)
     ctr = shift(uc, 0, 0)
     up = shift(uc, 1, 0)
     right = shift(uc, 0, 1)
@@ -255,11 +285,14 @@ class MultigridSolver:
         self.use_pallas = use_pallas
 
     # Kernel-route only the TOP few levels: each kernel level adds two
-    # Mosaic payloads to the program, and a full 8192^2 hierarchy's
-    # payloads exceed the remote-compile tunnel's request-size limit
-    # (HTTP 413). The top 3 levels are >= 98% of the cycle's work (each
-    # level is 4x cheaper than the one above), so XLA below costs nothing
-    # measurable; 2048^2 re-measured 1.19 ms/inversion-cycle either way.
+    # ~0.3 MB Mosaic payloads and ~40-60 s of Mosaic compile through the
+    # remote tunnel, while levels below the top 3 are each 4x cheaper
+    # than the one above (>= 98% of the cycle's work is in the top 3) —
+    # XLA below costs nothing measurable. 2048^2 re-measured 1.19
+    # ms/inversion-cycle either way. (The 8192^2 HTTP 413 compile
+    # failures that prompted this were ultimately a 268 MB CLOSED-OVER
+    # zeta constant in the benchmark harness, not the payloads — fixed in
+    # scripts/decomp_r4.py — but the cap stays for the compile-time win.)
     _PALLAS_MAX_LEVELS = 3
     _PALLAS_MIN_EXTENT = 512
 

@@ -37,9 +37,26 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_tendency import _H, _make_halo_fetch_ops, _params
+from .pallas_tendency import _H, _make_halo_fetch_ops
 
 _MAX_NU_RES = _H - 1            # validity rows consumed: nu sweeps + residual
+
+# The MG smoother budgets against a 96 MB scoped-VMEM limit (v5e has
+# 128 MB physical; the step kernels use 64 MB — pallas_tendency._VMEM_LIMIT).
+# At 8192^2 the 64 MB budget forced T=32 tiles whose 2x8 halo rows triple
+# the u-read amplification: the measured marginal V-cycle was 46.2 ms
+# (2.7x the 2048^2 area scaling, results/decomp_r5_mgk_8192.json); the
+# 96 MB budget admits T=64 (25% amplification).
+_VMEM_LIMIT_MG = 96 * 1024 * 1024
+_VMEM_BUDGET_MG = int(0.70 * _VMEM_LIMIT_MG)
+_PARAMS_MG = None
+
+
+def _params():
+    global _PARAMS_MG
+    if _PARAMS_MG is None:
+        _PARAMS_MG = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_MG)
+    return _PARAMS_MG
 
 
 def mg_smooth_supported(K: int, M: int, P: int, nu: int,
@@ -64,9 +81,9 @@ def _footprint_mg(T: int, P: int, K: int) -> int:
 
 
 def _pick_tile_mg(M: int, P: int, K: int) -> int:
-    from .pallas_tendency import _VMEM_BUDGET
     for T in (256, 128, 64, 32, 16, 8):
-        if M % T == 0 and M // T >= 2 and _footprint_mg(T, P, K) <= _VMEM_BUDGET:
+        if (M % T == 0 and M // T >= 2
+                and _footprint_mg(T, P, K) <= _VMEM_BUDGET_MG):
             return T
     return 0
 
