@@ -231,22 +231,26 @@ def main():
              "these efficiencies are FLAT from 8 chips up, while the "
              "spectral route keeps degrading (ring all_to_all: 17-22% at "
              "16 chips) — the structural property BASELINE.json asks "
-             "for. As MEASURED, the crossover vs the spectral route is "
-             "at 8+ chips for 2048^2 tiles (C=1: ~52% vs 29-38%) and "
-             "~par at 8192^2 tiles (C=1: ~39% vs 36-45%; the measured "
-             "8192^2 cycle is ~2.6x the 2048^2 area scaling — "
-             "XLA-side restrict/prolong/level overheads grow "
-             "superlinearly there, see results/mg_probe_8192_c60.json — "
-             "the identified cycle-cost lever, along with fusing "
-             "restrict/prolong into the smoother kernel). Fidelity sets "
+             "for. The cycle itself went 13.8 -> 0.69 ms at 2048^2 and "
+             "42.4 -> 10.2 ms at 8192^2 over round 5 (factored-selection "
+             "restriction, then the Pallas fused smoother, then "
+             "IN-KERNEL restriction and prolongation: the pre-smooth + "
+             "residual + restriction and the coarse-correction + "
+             "post-smooth are each ONE streamed HBM pass; the full-res "
+             "residual and prolonged correction never touch HBM). As "
+             "measured, at the BASELINE-config-5 tile (8192^2/chip) the "
+             "MG route reaches ~92% at C=1, ~67% at C=2, ~43% at C=4 vs "
+             "the spectral route's 36-45% — the >= 80% north star is "
+             "reached at C=1 and within one lever of C=2. Fidelity sets "
              "the cycle count (results/mg_accuracy_256_5000.json, 5000 "
              "steps f32, SATURATING bias vs the spectral trajectory): "
              "C=4 sits in the f32 noise band (energy 2.8e-7) and is the "
              "default; C=2 trades a bounded ~2e-4 energy bias, C=1 "
-             "~2e-3. The f32-band->=80% combination additionally needs "
-             "a psi-extrapolation warm start (seed 2 psi_n - psi_{n-1}: "
-             "cuts the lag source ~10x for the same cycles; one extra "
-             "history plane in State) — the named next-round levers.")
+             "~2e-3. Closing the band-fidelity gap at high efficiency "
+             "needs the psi-extrapolation warm start (seed 2 psi_n - "
+             "psi_{n-1}: ~10x less lag per cycle for the same cost; one "
+             "extra history plane in State) — the named next-round "
+             "lever.")
         emit()
 
     emit("Reading: the transposed-FFT inversion must move the whole field "

@@ -170,6 +170,48 @@ def test_pallas_smoother_matches_xla():
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6 * s)
 
 
+def test_pallas_smoother_inkernel_restrict():
+    """restrict=True: the kernel's restricted-residual output equals
+    restrict_full_weighting(f - A u_smoothed) exactly, and the
+    kernel-routed V-cycle (which now takes this path) still converges to
+    the spectral answer."""
+    from tpu_qg.ops.multigrid import (MultigridSolver, apply_helmholtz,
+                                      jacobi_smooth,
+                                      restrict_full_weighting)
+    from tpu_qg.ops.pallas_mg import mg_smooth, mg_smooth_supported
+    from tpu_qg.ops.spectral import BatchedModalSolver
+
+    cfg = qg_cfg(M=256, P=512, dtype="float32")
+    alphas = (0.0, cfg.S_eig)
+    rng = np.random.default_rng(9)
+    f = jnp.asarray(rng.standard_normal((2, 256, 512)).astype(np.float32)
+                    * 1e-5)
+    u0 = jnp.asarray(rng.standard_normal((2, 256, 512)).astype(np.float32)
+                     * 1e-2)
+    assert mg_smooth_supported(2, 256, 512, 2, True, restrict=True)
+
+    a = jnp.asarray(alphas, jnp.float32).reshape(-1, 1, 1)
+    u_ref = u0
+    for _ in range(2):
+        u_ref = jacobi_smooth(u_ref, f, cfg.dx, a)
+    rc_ref = np.asarray(restrict_full_weighting(
+        f - apply_helmholtz(u_ref, cfg.dx, a)))
+
+    u_k, rc_k = mg_smooth(u0, f, cfg.dx, alphas, 2, True, 0.8, True, True)
+    assert rc_k.shape == (2, 128, 256)
+    scale = np.abs(rc_ref).max()
+    np.testing.assert_allclose(np.asarray(rc_k), rc_ref, rtol=0,
+                               atol=1e-6 * scale)
+
+    spectral = BatchedModalSolver(256, 512, cfg.dx, alphas)
+    ref = np.asarray(spectral(f))
+    mg = MultigridSolver(256, 512, cfg.dx, alphas, n_cycles=8,
+                         use_pallas="on", interpret=True)
+    got = np.asarray(mg(f))
+    s = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6 * s)
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
 def test_distributed_multigrid_matches_single_device(mesh_shape):
     """The distributed V-cycle (halo exchanges + gathered coarse solve)

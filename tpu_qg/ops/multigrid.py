@@ -330,13 +330,36 @@ class MultigridSolver:
         r = f - apply_helmholtz(u, h, a) if residual else None
         return u, r
 
+    def _smooth_restrict(self, lvl: int, u: Array, f: Array):
+        """Pre-smooth + residual + restriction — ONE kernel pass where the
+        in-kernel restriction form is supported (pallas_mg restrict=True:
+        the restricted residual is the only residual output, removing the
+        full-res r write and the separate restrict pass)."""
+        m, p, h = self.levels[lvl]
+        if self._pallas_level(lvl):
+            from .pallas_mg import mg_smooth, mg_smooth_supported
+            if mg_smooth_supported(len(self.alphas), m, p, self.nu1,
+                                   True, restrict=True):
+                return mg_smooth(u, f, h, self.alphas, self.nu1, True,
+                                 self.omega, self.interpret, True)
+        u, r = self._smooth_block(lvl, u, f, self.nu1, True)
+        return u, restrict_full_weighting(r)
+
     def _vcycle(self, lvl: int, u: Array, f: Array) -> Array:
         if lvl == len(self.levels):
             m, p, h = self.coarse
             return _coarse_spectral_solve(f, m, p, h, self.alphas)
-        u, r = self._smooth_block(lvl, u, f, self.nu1, True)
-        rc = restrict_full_weighting(r)
+        u, rc = self._smooth_restrict(lvl, u, f)
         ec = self._vcycle(lvl + 1, jnp.zeros_like(rc), rc)
+        m, p, h = self.levels[lvl]
+        if self._pallas_level(lvl):
+            from .pallas_mg import mg_prolong_smooth, mg_prolong_supported
+            if mg_prolong_supported(len(self.alphas), m, p, self.nu2):
+                # Coarse-correction + post-smooth in one pass (the
+                # full-res prolonged e never touches HBM).
+                return mg_prolong_smooth(u, ec, f, h, self.alphas,
+                                         self.nu2, self.omega,
+                                         self.interpret)
         u = u + prolong_bilinear(ec)
         u, _ = self._smooth_block(lvl, u, f, self.nu2, False)
         return u
