@@ -29,7 +29,7 @@ TPU-native replacement's hot loop.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

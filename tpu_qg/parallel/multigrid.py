@@ -23,7 +23,7 @@ system, communication-avoiding algorithm.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
