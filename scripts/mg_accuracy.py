@@ -49,14 +49,17 @@ def run_traj(cfg, psi0, steps, sample, mesh=None):
     from tpu_qg.parallel import make_mesh, shard_state
     from tpu_qg.parallel.stepper import make_halo_step_fn
 
+    from tpu_qg.parallel.stepper import make_halo_run_fn
+
     if mesh is None:
         mesh = make_mesh((1, 1))
-    step = make_halo_step_fn(cfg, mesh, donate=False)
+    # The scanned run fn (not the single-step fn): the multigrid route's
+    # extrapolated warm start lives in the scan carry.
+    run = make_halo_run_fn(cfg, mesh)
     s = shard_state(init_state(cfg, psi_init=psi0), mesh)
     out = []
     for k in range(steps // sample):
-        for _ in range(sample):
-            s = step(s)
+        s = run(s, sample)
         out.append((np.asarray(s.zeta), energy_enstrophy(cfg, s)))
     return out
 
@@ -67,6 +70,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--sample", type=int, default=500)
     ap.add_argument("--cycles", default="1,2,4")
+    ap.add_argument("--no-extrapolate", action="store_true")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -93,7 +97,8 @@ def main():
     rec = {"M": M, "steps": args.steps, "sample": args.sample,
            "dtype": args.dtype, "variants": {}}
     for c in (int(v) for v in args.cycles.split(",")):
-        cfg = ModelConfig(**base, elliptic_impl="multigrid", mg_cycles=c)
+        cfg = ModelConfig(**base, elliptic_impl="multigrid", mg_cycles=c,
+                          mg_extrapolate=not args.no_extrapolate)
         t0 = time.perf_counter()
         got = run_traj(cfg, psi0, args.steps, args.sample)
         rows = []
@@ -105,7 +110,9 @@ def main():
                 "enstrophy_rel_diff": abs(eng - enr) / max(abs(enr),
                                                            1e-300),
             })
-        rec["variants"][f"mg_cycles={c}"] = {
+        tag = (f"mg_cycles={c}" if not args.no_extrapolate
+               else f"mg_cycles={c}_noextrap")
+        rec["variants"][tag] = {
             "wall_s": round(time.perf_counter() - t0, 1),
             "final": rows[-1], "trace": rows}
         print(f"[mgacc] cycles={c}: final {rows[-1]}", flush=True)

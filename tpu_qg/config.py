@@ -134,6 +134,15 @@ class ModelConfig:
     # use the spectral/Pallas route (fastest on one chip).
     elliptic_impl: str = "spectral"
     mg_cycles: int = 4
+    # Extrapolated warm start for the multigrid route (scan runs only,
+    # parallel/stepper.make_halo_run_fn): seed the V-cycles with
+    # 2 psi_n - psi_{n-1} instead of psi_n. The solve's steady-state lag
+    # error is rho^C x (seed error); linear extrapolation replaces the
+    # O(dt) per-step psi change with its O(dt^2) curvature (~10x smaller
+    # at production dt), buying ~1 cycle of accuracy for free. psi_{n-1}
+    # rides the scan carry — State and checkpoints are unchanged (a
+    # resumed run's first step falls back to the plain warm start).
+    mg_extrapolate: bool = True
 
     def __post_init__(self):
         if self.dtype not in ("float32", "float64", "bfloat16"):
@@ -297,14 +306,17 @@ def preset(name: str) -> ModelConfig:
         # BASELINE config 5 on the communication-avoiding elliptic route:
         # distributed multigrid (O(halo) traffic/step) instead of the
         # transposed-FFT inversion — the 8+-chip weak-scaling pick
-        # (results/scaling_projection.md round-5 MG table). mg_cycles=4 is
-        # the f32-noise-band fidelity point (results/mg_accuracy_256_5000
-        # .json); drop to 2 to trade a saturating ~2e-4 energy bias for
-        # ~1.8x more step throughput at 8 chips.
+        # (results/scaling_projection.md round-5 MG table: 67% at 8 chips
+        # vs the spectral route's 36-45%, FLAT in chip count).
+        # mg_cycles=2 is the f32-noise-band fidelity point WITH the
+        # extrapolated warm start (mg_extrapolate, default on): 5000-step
+        # energy bias 2.1e-6 (results/mg_accuracy_256_5000_extrap.json)
+        # vs 1.8e-4 without extrapolation; mg_cycles=1 trades a bounded
+        # ~3e-5 bias for ~94%.
         "pod-8192-mg": ModelConfig(
             M=8192, P=8192, Lx=4000.0 * KM, Ly=4000.0 * KM,
             dt=30.0, T=1.0 * DAY, dtype="float32",
-            elliptic_impl="multigrid", mg_cycles=4,
+            elliptic_impl="multigrid", mg_cycles=2,
         ),
         # Reference benchmark sweep base (reference: src/benchmarking/benchmarking.jl:6-26).
         "bench-ref": ModelConfig(
